@@ -1,0 +1,95 @@
+"""The jitted DDIM sampling loop: one `lax.scan` over timesteps.
+
+Behavioral parity with reference ``src/inference.py:26-107`` (and the
+ControlNet variant ``src/inference_controlnet.py``):
+  * CFG by a doubled batch [cond; uncond] -> single backbone call;
+  * guidance ``uncond + s * (cond - uncond)``;
+  * optional CFG rescale (arXiv 2305.08891 §3.4) — std computed with the
+    same Bessel correction torch.std uses;
+  * eta-noised DDIM step;
+  * inpainting: masked positions generated, unmasked positions pasted back
+    from the ground-truth latent at the end (inference.py:104-105 as a
+    ``jnp.where``).
+
+TPU design: the model function is closed over parameters, the per-step
+tables are gathered by scan index, the per-step eta-noise comes from
+``jax.random.fold_in`` of one key, and the whole loop compiles to a single
+XLA while-loop.  The CFG pair rides the batch axis, which is the axis the
+data-parallel mesh shards (see ezaudio_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ezaudio_tpu.diffusion.ddim import DDIMSchedule
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
+    """Std-matching CFG rescale (reference src/inference.py:12-23).
+
+    Uses ddof=1 (Bessel) to match ``torch.std``'s default.
+    """
+    dims = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=dims, keepdims=True, ddof=1)
+    std_cfg = jnp.std(noise_cfg, axis=dims, keepdims=True, ddof=1)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+def sample_latents(
+    model_fn: Callable,
+    schedule: DDIMSchedule,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    num_steps: int,
+    guidance_scale: Optional[float] = None,
+    guidance_rescale: float = 0.0,
+    eta: float = 1.0,
+) -> jnp.ndarray:
+    """Run the DDIM loop.
+
+    ``model_fn(latents, t) -> model_output`` must handle CFG internally if
+    ``guidance_scale`` is None; otherwise it receives the *single* batch and
+    this function forms the CFG pair:
+        ``model_fn(latents_2B, t) -> output_2B``  (cond first, uncond second)
+    — callers build that closure over text embeddings (see api/ezaudio.py).
+
+    Inpainting gt latents ride inside the caller's closure; the final
+    gt paste happens in the API layer *after* scale_shift_re, matching the
+    reference order (inference.py:102-105).
+
+    Returns final latents (B, L, C).
+    """
+    a_t, a_prev, ts = schedule.step_tables(num_steps)
+    a_t = jnp.asarray(a_t)
+    a_prev = jnp.asarray(a_prev)
+    ts = jnp.asarray(ts)
+
+    def body(latents, i):
+        t = ts[i]
+        if guidance_scale is not None:
+            pair = jnp.concatenate([latents, latents], axis=0)
+            out = model_fn(pair, t)
+            cond, uncond = jnp.split(out, 2, axis=0)
+            pred = uncond + guidance_scale * (cond - uncond)
+            if guidance_rescale > 0.0:
+                pred = rescale_noise_cfg(pred, cond, guidance_rescale)
+        else:
+            pred = model_fn(latents, t)
+
+        step_noise = None
+        if eta > 0:
+            step_noise = jax.random.normal(
+                jax.random.fold_in(key, i), latents.shape, latents.dtype
+            )
+        latents = schedule.ddim_step(
+            pred, latents, a_t[i], a_prev[i], eta=eta, noise=step_noise
+        )
+        return latents, None
+
+    latents, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
+    return latents

@@ -1,0 +1,281 @@
+"""DiT building blocks: multi-head attention, AdaLN(-SOLA), DiTBlock, FinalBlock.
+
+Behavioral parity with reference ``src/models/blocks.py`` and
+``src/models/utils/attention.py``; architecture is reshaped for TPU:
+  * channel-last tokens (B, L, D);
+  * q/k/v in one trace, einsum attention (MXU), f32 softmax;
+  * RoPE tables precomputed at trace time;
+  * gate convention kept EXACTLY as the reference:  ``x + (1 - gate) * f(x)``
+    (blocks.py:139,156 — note the unusual ``1 - gate``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ezaudio_tpu.ops.attention import dot_product_attention, make_attention_mask
+from ezaudio_tpu.ops.convs import Conv1d, xavier_linear, zero_linear, Linear
+from ezaudio_tpu.ops.embeddings import unpatchify_1d
+from ezaudio_tpu.ops.mlp import FeedForward, film_modulate
+from ezaudio_tpu.ops.norms import LayerNorm, RMSNorm, make_norm
+from ezaudio_tpu.ops.rope import apply_rope_skip_prefix, rope_tables
+
+
+class Attention(nn.Module):
+    """Unified self/cross attention (reference attention.py:40-150).
+
+    * separate q/k/v projections (cross-attn keys come from ``context``);
+    * optional per-head q/k LayerNorm or RMSNorm on head_dim;
+    * RoPE modes: none / shared / x_only / dual, where x_only and dual
+      rotate only the non-``extras`` positions;
+    * boolean key mask, True = attend.
+    """
+
+    dim: int
+    num_heads: int
+    context_dim: Optional[int] = None
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    qk_norm: Optional[str] = None
+    rope_mode: str = "none"
+    zero_proj: bool = False  # zero-init output proj (cross-attn, udit.py init)
+    extras: int = 0  # prefix tokens excluded from RoPE in x_only/dual modes
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, context_mask=None):
+        extras = self.extras
+        B, L, _ = x.shape
+        cross = context is not None
+        ctx = context if cross else x
+        ctx_dim = self.context_dim if (cross and self.context_dim) else self.dim
+        H = self.num_heads
+        head_dim = self.dim // H
+        scale = self.qk_scale or head_dim**-0.5
+
+        q = xavier_linear(self.dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_q")(x)
+        k = xavier_linear(ctx_dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_k")(ctx)
+        v = xavier_linear(ctx_dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_v")(ctx)
+
+        Lk = ctx.shape[1]
+        q = q.reshape(B, L, H, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, H, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lk, H, head_dim).transpose(0, 2, 1, 3)
+
+        if self.qk_norm == "layernorm":
+            q = LayerNorm(dim=head_dim, dtype=self.dtype, name="norm_q")(q)
+            k = LayerNorm(dim=head_dim, dtype=self.dtype, name="norm_k")(k)
+        elif self.qk_norm == "rmsnorm":
+            q = RMSNorm(dim=head_dim, dtype=self.dtype, name="norm_q")(q)
+            k = RMSNorm(dim=head_dim, dtype=self.dtype, name="norm_k")(k)
+        elif self.qk_norm is not None:
+            raise NotImplementedError(self.qk_norm)
+
+        if self.rope_mode != "none":
+            assert not cross, "RoPE only applies to self-attention"
+            cos, sin = rope_tables(L, head_dim)
+            if self.rope_mode == "shared":
+                q = apply_rope_skip_prefix(q, cos, sin, 0)
+                k = apply_rope_skip_prefix(k, cos, sin, 0)
+            elif self.rope_mode in ("x_only", "dual"):
+                # dual uses a second rotary for the prefix; with the standard
+                # table both rotaries are identical functions of position, so
+                # rotating the prefix with its own position-0-based table:
+                if self.rope_mode == "x_only":
+                    q = apply_rope_skip_prefix(q, cos, sin, extras)
+                    k = apply_rope_skip_prefix(k, cos, sin, extras)
+                else:
+                    qp = apply_rope_skip_prefix(q[:, :, :extras], cos, sin, 0)
+                    kp = apply_rope_skip_prefix(k[:, :, :extras], cos, sin, 0)
+                    qx = apply_rope_skip_prefix(q[:, :, extras:], cos, sin, 0)
+                    kx = apply_rope_skip_prefix(k[:, :, extras:], cos, sin, 0)
+                    q = jnp.concatenate([qp, qx], axis=2)
+                    k = jnp.concatenate([kp, kx], axis=2)
+            else:
+                raise NotImplementedError(self.rope_mode)
+
+        mask = make_attention_mask(L, context_mask)
+        out = dot_product_attention(q, k, v, mask=mask, scale=scale)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
+        proj = zero_linear if self.zero_proj else xavier_linear
+        return proj(self.dim, self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class AdaLN(nn.Module):
+    """Adaptive layer-norm modulation head (reference blocks.py:9-48).
+
+    Modes:
+      * ``ada``          — per-block Linear(time_token) -> 6*dim (zero-init);
+      * ``ada_single``   — shared 6*dim vector + per-block (6, dim) table;
+      * ``ada_sola``     — shared vector + rank-r LoRA delta
+                           ``lora_b(lora_a(time_token)) * alpha/r``;
+      * ``ada_sola_bias``— ada_sola + the (6, dim) table (EzAudio setting).
+
+    Returns modulation of shape (B, 6, dim) laid out as
+    [shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp].
+    """
+
+    dim: int
+    ada_mode: str = "ada"
+    r: Optional[int] = None
+    alpha: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, time_token=None, time_ada=None):
+        if self.ada_mode == "ada":
+            assert time_ada is None
+            out = zero_linear(self.dim, 6 * self.dim, dtype=self.dtype, name="time_ada")(time_token)
+            return out.reshape(-1, 6, self.dim)
+        if self.ada_mode == "ada_single":
+            table = self.param("scale_shift_table", nn.initializers.zeros, (6, self.dim), jnp.float32)
+            return time_ada.reshape(-1, 6, self.dim) + table[None].astype(self.dtype)
+        if self.ada_mode in ("ada_sola", "ada_sola_bias"):
+            # torch kaiming_uniform(a=sqrt(5)): U(+-1/sqrt(fan_in))
+            lora_a = Linear(self.in_dim_a(), self.r * 6, use_bias=False, dtype=self.dtype, name="lora_a")(time_token)
+            delta = zero_linear(self.r * 6, self.dim * 6, use_bias=False, dtype=self.dtype, name="lora_b")(lora_a)
+            out = time_ada + delta * (self.alpha / self.r)
+            out = out.reshape(-1, 6, self.dim)
+            if self.ada_mode == "ada_sola_bias":
+                table = self.param("scale_shift_table", nn.initializers.zeros, (6, self.dim), jnp.float32)
+                out = out + table[None].astype(self.dtype)
+            return out
+        raise NotImplementedError(self.ada_mode)
+
+    def in_dim_a(self):
+        return self.dim
+
+
+class SkipFusion(nn.Module):
+    """Long-skip fusion: ``Linear(norm(cat[x, skip]))`` (blocks.py:99-103,124-128)."""
+
+    dim: int
+    skip_norm: bool = True
+    norm_layer: str = "layernorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        cat = jnp.concatenate([x, skip], axis=-1)
+        if self.skip_norm:
+            cat = make_norm(self.norm_layer, 2 * self.dim, dtype=self.dtype, name="skip_norm")(cat)
+        return xavier_linear(2 * self.dim, self.dim, dtype=self.dtype, name="skip_linear")(cat)
+
+
+class DiTBlock(nn.Module):
+    """Pre-LN DiT block with AdaLN FiLM + ``(1-gate)`` residuals
+    (reference blocks.py:51-160)."""
+
+    dim: int
+    num_heads: int
+    context_dim: Optional[int] = None
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    qk_norm: Optional[str] = None
+    act_layer: str = "gelu"
+    norm_layer: str = "layernorm"
+    time_fusion: str = "none"
+    ada_sola_rank: Optional[int] = None
+    ada_sola_alpha: Optional[float] = None
+    skip: bool = False
+    skip_norm: bool = False
+    rope_mode: str = "none"
+    context_norm: bool = False
+    use_checkpoint: bool = False
+    extras: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_token=None, time_ada=None, skip=None,
+                 context=None, x_mask=None, context_mask=None):
+        use_adanorm = self.time_fusion != "token"
+
+        if self.skip:
+            assert skip is not None
+            x = SkipFusion(dim=self.dim, skip_norm=self.skip_norm,
+                           norm_layer=self.norm_layer, dtype=self.dtype,
+                           name="skip_fusion")(x, skip)
+
+        if use_adanorm:
+            mod = AdaLN(dim=self.dim, ada_mode=self.time_fusion,
+                        r=self.ada_sola_rank, alpha=self.ada_sola_alpha,
+                        dtype=self.dtype, name="adaln")(time_token, time_ada)
+            (shift_msa, scale_msa, gate_msa,
+             shift_mlp, scale_mlp, gate_mlp) = [
+                mod[:, i : i + 1, :] for i in range(6)
+            ]
+
+        # --- self attention ---
+        h = make_norm(self.norm_layer, self.dim, dtype=self.dtype, name="norm1")(x)
+        if use_adanorm:
+            h = film_modulate(h, shift=shift_msa, scale=scale_msa)
+        attn_out = Attention(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, qk_norm=self.qk_norm,
+            rope_mode=self.rope_mode, extras=self.extras, dtype=self.dtype,
+            name="attn",
+        )(h, context=None, context_mask=x_mask)
+        x = x + ((1 - gate_msa) * attn_out if use_adanorm else attn_out)
+
+        # --- cross attention ---
+        if self.context_dim is not None:
+            assert context is not None
+            h = make_norm(self.norm_layer, self.dim, dtype=self.dtype, name="norm2")(x)
+            if self.context_norm:
+                ctx = make_norm(self.norm_layer, self.context_dim,
+                                dtype=self.dtype, name="norm_context")(context)
+            else:
+                ctx = context
+            x = x + Attention(
+                dim=self.dim, num_heads=self.num_heads,
+                context_dim=self.context_dim, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, qk_norm=self.qk_norm,
+                rope_mode="none", zero_proj=True, dtype=self.dtype,
+                name="cross_attn",
+            )(h, context=ctx, context_mask=context_mask)
+
+        # --- mlp ---
+        h = make_norm(self.norm_layer, self.dim, dtype=self.dtype, name="norm3")(x)
+        if use_adanorm:
+            h = film_modulate(h, shift=shift_mlp, scale=scale_mlp)
+        mlp_out = FeedForward(dim=self.dim, mult=self.mlp_ratio,
+                              activation_fn=self.act_layer, dtype=self.dtype,
+                              name="mlp")(h)
+        x = x + ((1 - gate_mlp) * mlp_out if use_adanorm else mlp_out)
+        return x
+
+
+class FinalBlock(nn.Module):
+    """Final projection: strip extras, AdaLN-modulated norm, linear to
+    patch_dim, unpatchify, optional width-3 output conv (blocks.py:163-211)."""
+
+    embed_dim: int
+    patch_size: int
+    out_chans: int
+    norm_layer: str = "layernorm"
+    use_conv: bool = True
+    use_adanorm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_ada=None, extras: int = 0):
+        x = x[:, extras:, :]
+        h = make_norm(self.norm_layer, self.embed_dim, dtype=self.dtype, name="norm")(x)
+        if self.use_adanorm:
+            B = x.shape[0]
+            mod = time_ada.reshape(B, 2, self.embed_dim)
+            shift, scale = mod[:, 0:1, :], mod[:, 1:2, :]
+            h = film_modulate(h, shift, scale)
+        patch_dim = self.patch_size * self.out_chans
+        h = xavier_linear(self.embed_dim, patch_dim, dtype=self.dtype, name="linear")(h)
+        h = unpatchify_1d(h, self.out_chans)
+        if self.use_conv:
+            h = Conv1d(
+                in_channels=self.out_chans, out_channels=self.out_chans,
+                kernel_size=3, padding=1, dtype=self.dtype, name="final_conv",
+            )(h)
+        return h

@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU backend.
+
+Multi-device logic (DP sharding, psum grad sync, CFG-pair sharding) is
+tested on CPU with XLA's host-platform device-count trick, per the build
+plan in SURVEY.md §4.
+"""
+
+import os
+
+# Force CPU: the session env may point JAX_PLATFORMS at a TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep compilation deterministic & fast for tests.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The image's default matmul precision is reduced (bf16-class) even on CPU;
+# parity tests need true float32 matmuls.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

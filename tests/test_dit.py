@@ -1,0 +1,168 @@
+"""MaskDiT / UDiT structural and behavioral tests on a tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ezaudio_tpu.models.maskdit import MaskDiT, maskdit_from_config
+from ezaudio_tpu.models.span_mask import compute_span_mask
+
+TINY_MODEL = dict(
+    mae=True,
+    mae_prob=0.25,
+    mask_ratio=[0.25, 1.0],
+    mask_span=4,
+    img_size=32,
+    patch_size=1,
+    in_chans=17,  # 2*8+1
+    out_chans=8,
+    input_type="1d",
+    embed_dim=64,
+    depth=4,
+    num_heads=4,
+    mlp_ratio=2.0,
+    qkv_bias=False,
+    qk_scale=None,
+    qk_norm="layernorm",
+    norm_layer="layernorm",
+    act_layer="geglu",
+    context_norm=True,
+    use_checkpoint=False,
+    time_fusion="ada_sola_bias",
+    ada_sola_rank=8,
+    ada_sola_alpha=8,
+    cls_dim=None,
+    context_dim=24,
+    context_fusion="cross",
+    context_max_length=None,
+    context_pe_method="none",
+    pe_method="none",
+    rope_mode="shared",
+    use_conv=True,
+    skip=True,
+    skip_norm=True,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = maskdit_from_config(TINY_MODEL)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 24))
+    t = jnp.asarray([10, 500])
+    params = model.init({"params": key, "mask": jax.random.PRNGKey(3)},
+                        x, t, ctx)
+    return model, params, x, ctx, t
+
+
+class TestMaskDiT:
+    def test_generation_forward_shape(self, tiny):
+        model, params, x, ctx, t = tiny
+        out, mask = model.apply(params, x, t, ctx)
+        assert out.shape == (2, 32, 8)
+        # pure generation: mask row is all ones
+        np.testing.assert_array_equal(np.asarray(mask), np.ones((2, 32, 8)))
+
+    def test_zero_init_heads_make_t_independent_at_init(self, tiny):
+        """At init, AdaLN heads are zero -> modulation comes only from the
+        (zero) tables; the model output must be identical for any timestep
+        (matching the reference's zero-init intent, udit.py:_init_ada)."""
+        model, params, x, ctx, t = tiny
+        o1, _ = model.apply(params, x, jnp.asarray([7, 7]), ctx)
+        o2, _ = model.apply(params, x, jnp.asarray([900, 900]), ctx)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    def test_zero_init_cross_attn_ignores_context_at_init(self, tiny):
+        model, params, x, ctx, t = tiny
+        o1, _ = model.apply(params, x, t, ctx)
+        o2, _ = model.apply(params, x, t, ctx * 100.0)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+    def test_context_mask_gates_text(self, tiny):
+        """With a non-trivially-trained model proxy (perturbed params),
+        masked-out context tokens must not influence the output."""
+        model, params, x, ctx, t = tiny
+        # perturb cross-attn projections away from zero
+        params = jax.tree.map(lambda p: p + 0.01, params)
+        cmask = jnp.asarray([[True, True, False, False, False]] * 2)
+        o1, _ = model.apply(params, x, t, ctx, context_mask=cmask)
+        ctx2 = ctx.at[:, 2:].set(999.0)
+        o2, _ = model.apply(params, x, t, ctx2, context_mask=cmask)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+    def test_editing_mask_infer(self, tiny):
+        model, params, x, ctx, t = tiny
+        gt = jax.random.normal(jax.random.PRNGKey(9), (2, 32, 8))
+        infer_mask = jnp.zeros((2, 32, 1), dtype=bool).at[:, 8:16].set(True)
+        out, mask = model.apply(params, x, t, ctx, gt=gt, mae_mask_infer=infer_mask)
+        assert out.shape == (2, 32, 8)
+        m = np.asarray(mask)
+        assert m[:, 8:16].all() and not m[:, :8].any() and not m[:, 16:].any()
+
+    def test_training_masking(self, tiny):
+        model, params, x, ctx, t = tiny
+        gt = jax.random.normal(jax.random.PRNGKey(9), (2, 32, 8))
+        out, mask = model.apply(
+            params, x, t, ctx, gt=gt, train=True,
+            rngs={"mask": jax.random.PRNGKey(4)},
+        )
+        m = np.asarray(mask)
+        assert out.shape == (2, 32, 8)
+        # mask is binary and channel-constant
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+        assert (m.std(axis=2) == 0).all()
+        # masking is non-trivial: some positions masked in each sample
+        assert (m[:, :, 0].sum(axis=1) >= 1).all()
+
+    def test_forward_model_false_returns_concat(self, tiny):
+        model, params, x, ctx, t = tiny
+        concat, mask = model.apply(params, x, t, ctx, forward_model=False)
+        assert concat.shape == (2, 32, 17)
+        # layout: [x | gt | mask_row]
+        np.testing.assert_allclose(np.asarray(concat[..., :8]), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(concat[..., -1]), 1.0)
+
+    def test_jit_and_grad(self, tiny):
+        model, params, x, ctx, t = tiny
+
+        @jax.jit
+        def loss_fn(p):
+            out, _ = model.apply(p, x, t, ctx)
+            return jnp.mean(out**2)
+
+        g = jax.grad(loss_fn)(params)
+        flat = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(v)).all() for v in flat)
+
+
+class TestSpanMask:
+    def test_mask_statistics_match_reference_distribution(self):
+        """Masked-fraction statistics must match the host NumPy algorithm
+        (span_mask.py:6-130) within Monte-Carlo tolerance."""
+        B, L, span = 256, 500, 10
+        probs = np.full((B,), 0.65, dtype=np.float32)
+        key = jax.random.PRNGKey(0)
+        mask = np.asarray(compute_span_mask(key, B, L, jnp.asarray(probs), span))
+        frac = mask.mean()
+
+        # Reference-style NumPy simulation (re-derived, not copied):
+        rs = np.random.default_rng(0)
+        fracs = []
+        for _ in range(B):
+            num = max(1, int(0.65 * L / span + rs.random()))
+            starts = rs.choice(L - span, num, replace=False)
+            m = np.zeros(L, bool)
+            for s in starts:
+                m[s : s + span] = True
+            fracs.append(m.mean())
+        ref_frac = np.mean(fracs)
+        assert abs(frac - ref_frac) < 0.03, (frac, ref_frac)
+
+    def test_min_masks(self):
+        mask = np.asarray(
+            compute_span_mask(jax.random.PRNGKey(1), 64, 100, jnp.zeros(64), 10)
+        )
+        # min_masks=1 guarantees at least one span even at p=0
+        assert (mask.sum(axis=1) >= 10).all()

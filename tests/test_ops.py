@@ -1,0 +1,215 @@
+"""Unit tests for neural primitives against PyTorch ground truth.
+
+torch (CPU) is available in the image, so every primitive with a torch
+counterpart is checked numerically against it — this is how we guarantee
+behavioral parity with the reference without porting its code.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from ezaudio_tpu.ops import activations as act
+from ezaudio_tpu.ops.attention import dot_product_attention
+from ezaudio_tpu.ops.convs import Conv1d, ConvTranspose1d
+from ezaudio_tpu.ops.embeddings import timestep_embedding
+from ezaudio_tpu.ops.norms import LayerNorm, RMSNorm
+from ezaudio_tpu.ops.rope import apply_rope, rope_tables
+
+
+def t2j(x):
+    return jnp.asarray(x.detach().numpy())
+
+
+class TestActivations:
+    def test_gelu_exact(self, rng):
+        x = rng.standard_normal((4, 33)).astype(np.float32)
+        got = np.asarray(act.gelu(jnp.asarray(x)))
+        want = F.gelu(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_gelu_tanh(self, rng):
+        x = rng.standard_normal((4, 33)).astype(np.float32)
+        got = np.asarray(act.gelu_tanh(jnp.asarray(x)))
+        want = F.gelu(torch.from_numpy(x), approximate="tanh").numpy()
+        # XLA and torch tanh differ at the ULP level; 5e-5 absolute is the
+        # expected cross-library transcendental tolerance at float32.
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_geglu(self, rng):
+        x = rng.standard_normal((2, 5, 64)).astype(np.float32)
+        got = np.asarray(act.geglu(jnp.asarray(x)))
+        a, b = torch.from_numpy(x).chunk(2, dim=-1)
+        want = (a * F.gelu(b)).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_snake_beta_vae(self, rng):
+        # VAE snake: x + (1/(beta+1e-9)) sin(alpha x)^2 with exp'd params
+        x = rng.standard_normal((2, 7, 16)).astype(np.float32)
+        log_alpha = rng.standard_normal(16).astype(np.float32) * 0.1
+        log_beta = rng.standard_normal(16).astype(np.float32) * 0.1
+        alpha, beta = np.exp(log_alpha), np.exp(log_beta)
+        got = np.asarray(act.snake_beta_vae(jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta)))
+        xt = torch.from_numpy(x)
+        at = torch.from_numpy(alpha)
+        bt = torch.from_numpy(beta)
+        want = (xt + (1.0 / (bt + 1e-9)) * torch.sin(xt * at).pow(2)).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestNorms:
+    def test_layernorm_matches_torch(self, rng):
+        x = rng.standard_normal((3, 7, 32)).astype(np.float32)
+        w = rng.standard_normal(32).astype(np.float32)
+        b = rng.standard_normal(32).astype(np.float32)
+        ln = LayerNorm(dim=32)
+        out = ln.apply({"params": {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}}, jnp.asarray(x))
+        want = F.layer_norm(torch.from_numpy(x), (32,), torch.from_numpy(w), torch.from_numpy(b)).numpy()
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+    def test_rmsnorm_matches_reference_formula(self, rng):
+        x = rng.standard_normal((3, 7, 32)).astype(np.float32)
+        w = rng.standard_normal(32).astype(np.float32)
+        m = RMSNorm(dim=32)
+        out = m.apply({"params": {"weight": jnp.asarray(w)}}, jnp.asarray(x))
+        xt = torch.from_numpy(x)
+        want = (xt * torch.rsqrt(xt.pow(2).mean(-1, keepdim=True) + 1e-6) * torch.from_numpy(w)).numpy()
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+class TestRoPE:
+    def test_tables_match_reference_construction(self):
+        # reference rotary.py: inv_freq = 1/10000^(2i/d); emb = cat([freqs, freqs])
+        L, D = 12, 8
+        cos, sin = rope_tables(L, D)
+        inv_freq = 1.0 / (10000 ** (torch.arange(0, D, 2).float() / D))
+        t = torch.arange(L).float()
+        freqs = torch.einsum("i,j->ij", t, inv_freq)
+        emb = torch.cat((freqs, freqs), dim=-1)
+        np.testing.assert_allclose(np.asarray(cos), emb.cos().numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sin), emb.sin().numpy(), atol=1e-5)
+
+    def test_apply_matches_torch_rotate_half(self, rng):
+        B, H, L, D = 2, 3, 10, 8
+        x = rng.standard_normal((B, H, L, D)).astype(np.float32)
+        cos, sin = rope_tables(L, D)
+        got = np.asarray(apply_rope(jnp.asarray(x), cos, sin))
+
+        xt = torch.from_numpy(x)
+        cos_t = torch.from_numpy(np.asarray(cos))[None, None]
+        sin_t = torch.from_numpy(np.asarray(sin))[None, None]
+        x1, x2 = xt.chunk(2, dim=-1)
+        rot = torch.cat((-x2, x1), dim=-1)
+        want = (xt * cos_t + rot * sin_t).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestAttention:
+    def test_sdpa_parity(self, rng):
+        B, H, L, D = 2, 4, 9, 16
+        q = rng.standard_normal((B, H, L, D)).astype(np.float32)
+        k = rng.standard_normal((B, H, L, D)).astype(np.float32)
+        v = rng.standard_normal((B, H, L, D)).astype(np.float32)
+        got = np.asarray(dot_product_attention(*map(jnp.asarray, (q, k, v))))
+        want = F.scaled_dot_product_attention(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+        ).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_masked_sdpa_parity(self, rng):
+        B, H, Lq, Lk, D = 2, 2, 5, 7, 8
+        q = rng.standard_normal((B, H, Lq, D)).astype(np.float32)
+        k = rng.standard_normal((B, H, Lk, D)).astype(np.float32)
+        v = rng.standard_normal((B, H, Lk, D)).astype(np.float32)
+        kmask = rng.random((B, Lk)) > 0.3
+        mask4 = kmask[:, None, None, :]
+        got = np.asarray(
+            dot_product_attention(*map(jnp.asarray, (q, k, v)), mask=jnp.asarray(mask4))
+        )
+        want = F.scaled_dot_product_attention(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v),
+            attn_mask=torch.from_numpy(mask4),
+        ).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestConvs:
+    @pytest.mark.parametrize("k,s,p,d", [(7, 1, 3, 1), (7, 1, 9, 3), (4, 2, 1, 1), (20, 10, 5, 1), (1, 1, 0, 1)])
+    def test_conv1d_parity(self, rng, k, s, p, d):
+        Cin, Cout, T = 5, 6, 40
+        x = rng.standard_normal((2, T, Cin)).astype(np.float32)
+        tconv = torch.nn.Conv1d(Cin, Cout, k, stride=s, padding=p, dilation=d)
+        want = tconv(torch.from_numpy(x).transpose(1, 2)).detach().numpy().transpose(0, 2, 1)
+
+        m = Conv1d(in_channels=Cin, out_channels=Cout, kernel_size=k, stride=s, padding=p, dilation=d)
+        params = {
+            "kernel": jnp.asarray(tconv.weight.detach().numpy().transpose(2, 1, 0)),
+            "bias": jnp.asarray(tconv.bias.detach().numpy()),
+        }
+        got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("k,s,p", [(4, 2, 1), (8, 4, 2), (12, 6, 3), (20, 10, 5)])
+    def test_conv_transpose1d_parity(self, rng, k, s, p):
+        Cin, Cout, T = 5, 6, 13
+        x = rng.standard_normal((2, T, Cin)).astype(np.float32)
+        tconv = torch.nn.ConvTranspose1d(Cin, Cout, k, stride=s, padding=p)
+        want = tconv(torch.from_numpy(x).transpose(1, 2)).detach().numpy().transpose(0, 2, 1)
+
+        m = ConvTranspose1d(in_channels=Cin, out_channels=Cout, kernel_size=k, stride=s, padding=p)
+        w = tconv.weight.detach().numpy()  # (in, out, k)
+        kernel = w.transpose(2, 0, 1)[::-1].copy()  # (k, in, out), time-flipped
+        params = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(tconv.bias.detach().numpy())}
+        got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_weight_norm_conv_parity(self, rng):
+        Cin, Cout, T, k = 4, 8, 20, 7
+        x = rng.standard_normal((1, T, Cin)).astype(np.float32)
+        tconv = torch.nn.utils.weight_norm(torch.nn.Conv1d(Cin, Cout, k, padding=3))
+        want = tconv(torch.from_numpy(x).transpose(1, 2)).detach().numpy().transpose(0, 2, 1)
+
+        v = tconv.weight_v.detach().numpy().transpose(2, 1, 0)  # (k, in, out)
+        g = tconv.weight_g.detach().numpy().reshape(-1)  # (out,)
+        m = Conv1d(in_channels=Cin, out_channels=Cout, kernel_size=k, padding=3, weight_norm=True)
+        params = {"v": jnp.asarray(v), "g": jnp.asarray(g), "bias": jnp.asarray(tconv.bias.detach().numpy())}
+        got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_weight_norm_conv_transpose_parity(self, rng):
+        Cin, Cout, T, k, s, p = 6, 4, 9, 12, 6, 3
+        x = rng.standard_normal((1, T, Cin)).astype(np.float32)
+        tconv = torch.nn.utils.weight_norm(torch.nn.ConvTranspose1d(Cin, Cout, k, stride=s, padding=p))
+        want = tconv(torch.from_numpy(x).transpose(1, 2)).detach().numpy().transpose(0, 2, 1)
+
+        v = tconv.weight_v.detach().numpy().transpose(2, 0, 1)[::-1].copy()  # (k, in, out) flipped
+        g = tconv.weight_g.detach().numpy().reshape(-1)  # (in,)
+        m = ConvTranspose1d(in_channels=Cin, out_channels=Cout, kernel_size=k, stride=s, padding=p, weight_norm=True)
+        params = {"v": jnp.asarray(v), "g": jnp.asarray(g), "bias": jnp.asarray(tconv.bias.detach().numpy())}
+        got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestTimestepEmbedding:
+    def test_matches_reference_formula(self):
+        # modules.py:19-37 — cos first then sin
+        import math
+
+        t = torch.tensor([0.0, 1.0, 500.0, 999.0])
+        dim = 256
+        half = dim // 2
+        freqs = torch.exp(-math.log(10000) * torch.arange(half).float() / half)
+        args = t[:, None] * freqs[None]
+        want = torch.cat([torch.cos(args), torch.sin(args)], dim=-1).numpy()
+        got = np.asarray(timestep_embedding(jnp.asarray(t.numpy()), dim))
+        # cos/sin of arguments up to ~1000 rad: XLA's float32 range reduction
+        # differs from torch's at the 1e-3 level on the highest-frequency
+        # components (pure phase noise, far below the fp16 AMP precision the
+        # reference trains with).
+        np.testing.assert_allclose(got, want, atol=5e-3)
+        # small arguments (t=0,1) are exact
+        np.testing.assert_allclose(got[:2], want[:2], atol=1e-5)
