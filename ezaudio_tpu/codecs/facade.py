@@ -1,0 +1,138 @@
+"""Autoencoder facade: one interface over the latent codecs.
+
+Behavioral parity with reference ``src/modules/autoencoder_wrapper.py``:
+``forward(audio=...)`` -> latent, ``forward(embedding=...)`` -> waveform,
+with the ``quantization_first`` flag deciding whether bottleneck sampling
+happens at encode (EzAudio: ``q_first: true``) or at decode.
+
+Also carries the chunked overlap-discard encode/decode for long audio
+(reference ``autoencoders.py:428-559``) — chunk/overlap arithmetic runs on
+the host, each chunk is one jitted codec call, so arbitrary lengths reuse a
+handful of compiled programs.
+
+Layouts: audio (B, T, 1) float32 in [-1, 1]; latents (B, L, C).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ezaudio_tpu.codecs.oobleck import AudioVAE, vae_from_config, vae_sample
+
+
+class AutoencoderFacade:
+    """Stateful convenience wrapper holding codec params (host object; all
+    compute inside is jitted pure functions)."""
+
+    def __init__(self, model: AudioVAE, params, quantization_first: bool = True,
+                 model_type: str = "stable_vae"):
+        self.model = model
+        self.params = params
+        self.quantization_first = quantization_first
+        self.model_type = model_type
+        self.downsampling_ratio = model.downsampling_ratio
+
+        # jitted paths
+        self._enc = jax.jit(lambda p, a: model.apply({"params": p}, a,
+                                                     method=lambda m, a: m.encoder(a)))
+        self._dec = jax.jit(lambda p, z: model.apply({"params": p}, z,
+                                                     method=lambda m, z: m.decoder(z)))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_config(cls, cfg: dict, params, quantization_first: bool = True,
+                    dtype=jnp.float32) -> "AutoencoderFacade":
+        return cls(vae_from_config(cfg, dtype=dtype), params, quantization_first)
+
+    # ------------------------------------------------------------------
+    def encode(self, audio, key: Optional[jax.Array] = None, sample: bool = True):
+        """audio (B, T, 1) -> latent (B, L, C).
+
+        With ``quantization_first`` (the EzAudio setting) the VAE bottleneck
+        sampling happens here; ``sample=False`` returns the posterior mean
+        (deterministic encode).
+        """
+        ms = self._enc(self.params, jnp.asarray(audio))
+        if self.quantization_first:
+            if sample and key is None:
+                key = jax.random.PRNGKey(0)
+            return vae_sample(key, ms, sample=sample)
+        return ms
+
+    def decode(self, embedding):
+        """latent (B, L, C) -> audio (B, T, 1)."""
+        z = jnp.asarray(embedding)
+        if not self.quantization_first:
+            z = vae_sample(jax.random.PRNGKey(0), z, sample=True)
+        return self._dec(self.params, z)
+
+    def __call__(self, audio=None, embedding=None, **kw):
+        if audio is not None:
+            return self.encode(audio, **kw)
+        if embedding is not None:
+            return self.decode(embedding)
+        raise ValueError("Either audio or embedding must be provided.")
+
+    # ------------------------------------------------------------------
+    # Chunked long-audio paths (autoencoders.py:428-559 parity)
+    # ------------------------------------------------------------------
+    def encode_audio(self, audio, chunked: bool = False, overlap: int = 32,
+                     chunk_size: int = 128, **kw):
+        if not chunked:
+            return self.encode(audio, **kw)
+        spl = self.downsampling_ratio
+        chunk_samps, overlap_samps = chunk_size * spl, overlap * spl
+        hop = chunk_samps - overlap_samps
+        total = audio.shape[1]
+        audio = np.asarray(audio)
+        starts = list(range(0, total - chunk_samps + 1, hop))
+        if not starts or starts[-1] + chunk_samps != total:
+            starts.append(total - chunk_samps)
+        y_size = total // spl
+        out = np.zeros((audio.shape[0], y_size, self.model.latent_dim), np.float32)
+        ol = overlap // 2
+        n = len(starts)
+        for i, s0 in enumerate(starts):
+            z = np.asarray(self.encode(audio[:, s0 : s0 + chunk_samps], **kw))
+            t0, t1 = (s0 // spl, s0 // spl + chunk_size) if i < n - 1 else (y_size - z.shape[1], y_size)
+            c0, c1 = 0, z.shape[1]
+            if i > 0:
+                t0 += ol
+                c0 += ol
+            if i < n - 1:
+                t1 -= ol
+                c1 -= ol
+            out[:, t0:t1] = z[:, c0:c1]
+        return jnp.asarray(out)
+
+    def decode_audio(self, latents, chunked: bool = False, overlap: int = 32,
+                     chunk_size: int = 128):
+        if not chunked:
+            return self.decode(latents)
+        spl = self.downsampling_ratio
+        hop = chunk_size - overlap
+        latents = np.asarray(latents)
+        total = latents.shape[1]
+        starts = list(range(0, total - chunk_size + 1, hop))
+        if not starts or starts[-1] + chunk_size != total:
+            starts.append(total - chunk_size)
+        y_size = total * spl
+        out = np.zeros((latents.shape[0], y_size, 1), np.float32)
+        ol = (overlap // 2) * spl
+        n = len(starts)
+        for i, s0 in enumerate(starts):
+            w = np.asarray(self.decode(latents[:, s0 : s0 + chunk_size]))
+            t0, t1 = (s0 * spl, (s0 + chunk_size) * spl) if i < n - 1 else (y_size - w.shape[1], y_size)
+            c0, c1 = 0, w.shape[1]
+            if i > 0:
+                t0 += ol
+                c0 += ol
+            if i < n - 1:
+                t1 -= ol
+                c1 -= ol
+            out[:, t0:t1] = w[:, c0:c1]
+        return jnp.asarray(out)

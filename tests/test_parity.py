@@ -1,0 +1,96 @@
+"""Golden parity tests: our JAX modules + converter vs. reference outputs.
+
+Fixtures are produced by ``scripts/gen_goldens.py`` running the PyTorch
+reference on tiny random configs, and are committed — these tests are
+hermetic (no torch, no reference checkout needed at test time).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def load(name):
+    path = os.path.join(FIXTURES, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} missing — run scripts/gen_goldens.py")
+    return dict(np.load(path, allow_pickle=False))
+
+
+class TestVAEParity:
+    def test_oobleck_encoder_decoder(self):
+        from ezaudio_tpu.codecs.oobleck import OobleckDecoder, OobleckEncoder
+        from ezaudio_tpu.convert.torch_to_jax import convert_vae_state_dict
+
+        d = load("vae_tiny.npz")
+        sd = {}
+        for k, v in d.items():
+            if k.startswith("enc."):
+                sd["encoder.layers." + k[len("enc.layers.") :]] = v
+            elif k.startswith("dec."):
+                sd["decoder.layers." + k[len("dec.layers.") :]] = v
+        params = convert_vae_state_dict(sd, num_blocks=2)
+
+        enc = OobleckEncoder(in_channels=1, channels=8, latent_dim=8,
+                             c_mults=(1, 2), strides=(2, 4))
+        dec = OobleckDecoder(out_channels=1, channels=8, latent_dim=4,
+                             c_mults=(1, 2), strides=(2, 4), final_tanh=False)
+
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))  # (B, T, 1)
+        ms = enc.apply({"params": params["encoder"]}, x)
+        np.testing.assert_allclose(
+            np.asarray(ms), d["mean_scale"].transpose(0, 2, 1), atol=2e-4)
+
+        z = ms[..., :4]
+        wav = dec.apply({"params": params["decoder"]}, z)
+        np.testing.assert_allclose(
+            np.asarray(wav), d["wav"].transpose(0, 2, 1), atol=2e-4)
+
+
+class TestMaskDiTParity:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from ezaudio_tpu.convert.torch_to_jax import convert_maskdit_state_dict
+        from ezaudio_tpu.models.maskdit import maskdit_from_config
+        from tests.test_dit import TINY_MODEL
+
+        d = load("maskdit_tiny.npz")
+        sd = {k[len("sd."):]: v for k, v in d.items() if k.startswith("sd.")}
+        params = {"params": convert_maskdit_state_dict(sd, TINY_MODEL)}
+        model = maskdit_from_config(TINY_MODEL)
+        return model, params, d
+
+    def test_generation_forward(self, setup):
+        model, params, d = setup
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))
+        ctx = jnp.asarray(d["ctx"])
+        out, _ = model.apply(params, x, jnp.asarray(d["t"]), ctx,
+                             context_mask=jnp.asarray(d["cmask"]))
+        np.testing.assert_allclose(
+            np.asarray(out), d["out_gen"].transpose(0, 2, 1), atol=2e-3)
+
+    def test_editing_forward(self, setup):
+        model, params, d = setup
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))
+        ctx = jnp.asarray(d["ctx"])
+        gt = jnp.asarray(d["gt"].transpose(0, 2, 1))
+        gmask = jnp.asarray(d["gmask"].transpose(0, 2, 1))  # (B, L, 1)
+        out, _ = model.apply(params, x, jnp.asarray(d["t"]), ctx,
+                             context_mask=jnp.asarray(d["cmask"]),
+                             gt=gt, mae_mask_infer=gmask)
+        np.testing.assert_allclose(
+            np.asarray(out), d["out_edit"].transpose(0, 2, 1), atol=2e-3)
+
+    def test_concat_only(self, setup):
+        model, params, d = setup
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))
+        ctx = jnp.asarray(d["ctx"])
+        concat, _ = model.apply(params, x, jnp.asarray(d["t"]), ctx,
+                                context_mask=jnp.asarray(d["cmask"]),
+                                forward_model=False)
+        np.testing.assert_allclose(
+            np.asarray(concat), d["concat"].transpose(0, 2, 1), atol=1e-5)
