@@ -1,0 +1,330 @@
+"""EzAudio: the end-user text-to-audio facade.
+
+API parity with reference ``api/ezaudio.py`` (class EzAudio):
+  * ``generate_audio(text, length=10, guidance_scale=5, guidance_rescale=0.75,
+    ddim_steps=100, eta=1, random_seed=None)`` -> (sr, waveform);
+  * ``editing_audio(text, boundary, gt_file, mask_start, mask_length, ...)``
+    -> (sr, waveform) — mask-based inpainting/outpainting with boundary
+    windowing (api/ezaudio.py:132-207);
+  * empty prompt disables guidance (api/ezaudio.py:109-111).
+
+Differences by design (TPU-first):
+  * no checkpoint downloads — checkpoints are local paths (zero egress);
+  * prompts may be a list: batched generation in one jitted call, the
+    CFG pair and prompt batch share the leading axis that the data-parallel
+    mesh shards (see ezaudio_tpu.parallel);
+  * the whole denoise loop is one compiled program per
+    (batch, frames, steps, guidance) signature — repeat calls hit the jit
+    cache.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ezaudio_tpu.codecs.facade import AutoencoderFacade
+from ezaudio_tpu.codecs.oobleck import vae_from_config
+from ezaudio_tpu.config import ConfigDict, MODEL_REGISTRY, load_yaml_with_includes
+from ezaudio_tpu.diffusion.ddim import DDIMSchedule
+from ezaudio_tpu.diffusion.sampling import sample_latents
+from ezaudio_tpu.models.maskdit import maskdit_from_config
+from ezaudio_tpu.text.t5 import T5Encoder, T5EncoderConfig, convert_t5_encoder_state_dict
+from ezaudio_tpu.text.tokenizer import get_tokenizer
+from ezaudio_tpu.data.audio_io import load_wav, peak_normalize
+from ezaudio_tpu.utils import scale_shift_re
+
+MAX_SEED = np.iinfo(np.int32).max
+
+_T5_CONFIGS = {
+    "google/flan-t5-large": T5EncoderConfig.flan_t5_large,
+    "google/flan-t5-xl": T5EncoderConfig.flan_t5_xl,
+}
+
+
+class EzAudio:
+    """Text-to-audio generation + editing on TPU.
+
+    Checkpoints: pass local paths to the published torch ``.pt`` files (they
+    are converted on load), or ``None`` for random initialization (smoke
+    tests / training from scratch).
+    """
+
+    def __init__(
+        self,
+        model_name: str = "s3_l",
+        config: Optional[dict] = None,
+        config_path: Optional[str] = None,
+        ckpt_path: Optional[str] = None,
+        vae_path: Optional[str] = None,
+        t5_path: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
+        t5_config: Optional[T5EncoderConfig] = None,
+        vae_config: Optional[dict] = None,
+        dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        if config is not None:
+            self.params_cfg = ConfigDict.wrap(config)
+        else:
+            if config_path is None:
+                config_path = MODEL_REGISTRY[model_name]["config"]
+            self.params_cfg = load_yaml_with_includes(config_path)
+        cfg = self.params_cfg
+        self.sr = cfg.autoencoder.sr
+        self.latent_sr = cfg.autoencoder.latent_sr
+        self.latent_dim = cfg.autoencoder.dim
+        self.scale = cfg.autoencoder.get("scale", 1.0)
+        self.shift = cfg.autoencoder.get("shift", 0.0)
+        self.dtype = dtype
+
+        key = jax.random.PRNGKey(seed)
+        k_dit, k_vae, k_t5 = jax.random.split(key, 3)
+
+        # --- diffusion backbone ---
+        self.dit = maskdit_from_config(cfg.model.to_dict(), dtype=dtype)
+        if ckpt_path:
+            from ezaudio_tpu.convert.torch_to_jax import (
+                convert_maskdit_state_dict, load_torch_checkpoint)
+
+            sd = load_torch_checkpoint(ckpt_path, key="model")
+            self.dit_params = {"params": convert_maskdit_state_dict(sd, cfg.model)}
+        else:
+            L = cfg.model.img_size
+            self.dit_params = self.dit.init(
+                {"params": k_dit, "mask": k_dit},
+                jnp.zeros((1, L, cfg.model.out_chans), dtype),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 1, cfg.model.context_dim), dtype),
+            )
+
+        # --- VAE codec ---
+        if vae_config is not None:
+            vae_cfg = vae_config
+        else:
+            vae_cfg_path = os.path.join(
+                os.path.dirname(MODEL_REGISTRY["vae"]["config"]), "vae.json")
+            with open(vae_cfg_path) as f:
+                vae_cfg = json.load(f)
+        vae_model = vae_from_config(vae_cfg, dtype=dtype)
+        if vae_path:
+            from ezaudio_tpu.convert.torch_to_jax import (
+                convert_vae_state_dict, load_torch_checkpoint, strip_prefix)
+
+            sd = load_torch_checkpoint(vae_path, key="state_dict")
+            sd = strip_prefix(sd, "autoencoder.")
+            vae_params = convert_vae_state_dict(sd)
+        else:
+            r = vae_model.downsampling_ratio
+            vae_params = vae_model.init(
+                {"params": k_vae, "sample": k_vae},
+                jnp.zeros((1, r * 4, 1), dtype))["params"]
+        self.autoencoder = AutoencoderFacade(
+            vae_model, vae_params,
+            quantization_first=cfg.autoencoder.get("q_first", True))
+
+        # --- text encoder ---
+        if t5_config is not None:
+            self.t5_cfg = t5_config
+        elif cfg.text_encoder.model in _T5_CONFIGS:
+            self.t5_cfg = _T5_CONFIGS[cfg.text_encoder.model]()
+        else:
+            self.t5_cfg = T5EncoderConfig(d_model=cfg.model.context_dim)
+        assert self.t5_cfg.d_model == cfg.model.context_dim, (
+            "text encoder width must match model context_dim")
+        self.t5 = T5Encoder(self.t5_cfg, dtype=dtype)
+        if t5_path:
+            import torch
+
+            sd = torch.load(t5_path, map_location="cpu", weights_only=True)
+            self.t5_params = convert_t5_encoder_state_dict(
+                {k: v.numpy() for k, v in sd.items()}, self.t5_cfg)
+        else:
+            self.t5_params = self.t5.init(
+                k_t5, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), bool))["params"]
+        self.max_length = cfg.text_encoder.max_length
+        self.tokenizer = get_tokenizer(tokenizer_path, self.t5_cfg.vocab_size)
+
+        # --- schedule ---
+        self.noise_scheduler = DDIMSchedule.from_config(cfg.diff)
+
+        self._encode_text = jax.jit(
+            lambda p, ids, mask: self.t5.apply({"params": p}, ids, mask))
+
+    # ------------------------------------------------------------------
+    def embed_text(self, texts: Sequence[str]):
+        ids, mask = self.tokenizer(list(texts), max_length=self.max_length)
+        emb = self._encode_text(self.t5_params, jnp.asarray(ids), jnp.asarray(mask))
+        return emb, jnp.asarray(mask)
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=32)
+    def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta, use_gt: bool):
+        """Compile (and cache) the full denoising program for a signature."""
+        schedule = self.noise_scheduler
+        dit = self.dit
+
+        @jax.jit
+        def run(dit_params, noise, ctx, cmask, gt, gt_mask, key):
+            # ctx/cmask are already the CFG-ordered batch: [cond; uncond]
+            # (or just cond when guidance is off).
+            def model_fn(lat, t):
+                if use_gt:
+                    n = lat.shape[0] // gt.shape[0]
+                    gt_b = jnp.concatenate([gt] * n, axis=0)
+                    gm_b = jnp.concatenate([gt_mask] * n, axis=0)
+                else:
+                    gt_b, gm_b = None, None
+                out, _ = dit.apply(
+                    dit_params, lat, t, ctx, context_mask=cmask,
+                    gt=gt_b, mae_mask_infer=gm_b)
+                return out
+
+            return sample_latents(
+                model_fn, schedule, noise, key, steps,
+                guidance_scale=guidance_scale,
+                guidance_rescale=guidance_rescale, eta=eta)
+
+        return run
+
+    # ------------------------------------------------------------------
+    def _generate_latents(
+        self, texts: List[str], frames: int,
+        guidance_scale, guidance_rescale, ddim_steps, eta, random_seed,
+        gt=None, gt_mask=None,
+    ):
+        B = len(texts)
+        if random_seed is None:
+            random_seed = np.random.randint(0, MAX_SEED)
+        key = jax.random.PRNGKey(random_seed)
+        k_noise, k_steps = jax.random.split(key)
+
+        cond, cond_mask = self.embed_text(texts)
+        if guidance_scale:
+            uncond, uncond_mask = self.embed_text([""] * B)
+            ctx = jnp.concatenate([cond, uncond], axis=0)
+            cmask = jnp.concatenate([cond_mask, uncond_mask], axis=0)
+        else:
+            guidance_scale = None
+            ctx, cmask = cond, cond_mask
+
+        noise = jax.random.normal(k_noise, (B, frames, self.latent_dim), self.dtype)
+        use_gt = gt is not None
+        if not use_gt:
+            gt = jnp.zeros((B, frames, self.latent_dim), self.dtype)
+            gt_mask = jnp.zeros((B, frames, 1), bool)
+        run = self._sampler(int(ddim_steps), guidance_scale, guidance_rescale,
+                            float(eta), use_gt)
+        latents = run(self.dit_params, noise, ctx, cmask, gt, gt_mask, k_steps)
+        return latents
+
+    # ------------------------------------------------------------------
+    def generate_audio(
+        self,
+        text: Union[str, Sequence[str]],
+        length: float = 10,
+        guidance_scale: Optional[float] = 5,
+        guidance_rescale: float = 0.75,
+        ddim_steps: int = 100,
+        eta: float = 1,
+        random_seed: Optional[int] = None,
+        randomize_seed: bool = False,
+    ) -> Tuple[int, np.ndarray]:
+        """Generate audio from text.  Returns (sr, waveform).
+
+        ``text`` may be a list of prompts for batched generation; the
+        waveform is then (B, T).
+        """
+        batched = not isinstance(text, str)
+        texts = list(text) if batched else [text]
+        if any(t == "" for t in texts):
+            guidance_scale = None  # reference: empty prompt -> no CFG
+        if randomize_seed:
+            random_seed = np.random.randint(0, MAX_SEED)
+
+        frames = int(length * self.latent_sr)
+        latents = self._generate_latents(
+            texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
+            random_seed)
+        pred = scale_shift_re(latents, self.scale, self.shift)
+        wav = np.asarray(self.autoencoder.decode(pred))[..., 0]  # (B, T)
+        return self.sr, (wav if batched else wav[0])
+
+    # ------------------------------------------------------------------
+    def editing_audio(
+        self,
+        text: str,
+        boundary: float,
+        gt_file: Union[str, np.ndarray],
+        mask_start: float,
+        mask_length: float,
+        guidance_scale: Optional[float] = 3.5,
+        guidance_rescale: float = 0.0,
+        ddim_steps: int = 100,
+        eta: float = 1,
+        random_seed: Optional[int] = None,
+        randomize_seed: bool = False,
+    ) -> Tuple[int, np.ndarray]:
+        """Mask-based editing: regenerate ``[mask_start, mask_start+mask_length)``
+        seconds of ``gt_file``, with ``boundary`` seconds of context on each
+        side; extends the clip when the mask runs past the end (outpainting).
+        Parity: api/ezaudio.py:132-207.
+        """
+        if text == "":
+            guidance_scale = None
+        if randomize_seed:
+            random_seed = np.random.randint(0, MAX_SEED)
+        sr = self.sr
+
+        if isinstance(gt_file, str):
+            gt, _ = load_wav(gt_file, sr=sr)
+        else:
+            gt = np.asarray(gt_file, np.float32)
+        gt = peak_normalize(gt)
+
+        mask_end = mask_start + mask_length
+        audio_length = len(gt) / sr
+        mask_start = min(mask_start, audio_length)
+        if mask_end > audio_length:
+            # outpainting: zero-pad the tail
+            padding = round((mask_end - audio_length) * sr)
+            gt = np.pad(gt, (0, padding), "constant")
+            audio_length = len(gt) / sr
+        output_audio = gt.copy()
+
+        boundary = min((mask_end - mask_start) / 2, boundary)
+        start_idx = max(mask_start - boundary, 0)
+        end_idx = min(mask_end + boundary, audio_length)
+        mask_start -= start_idx
+        mask_end -= start_idx
+
+        window = gt[round(start_idx * sr) : round(end_idx * sr)]
+        # pad window to a multiple of the VAE hop so shapes stay static-ish
+        hop = self.autoencoder.downsampling_ratio
+        pad = (-len(window)) % hop
+        window_p = np.pad(window, (0, pad))
+        gt_latent = self.autoencoder.encode(
+            window_p[None, :, None],
+            key=jax.random.PRNGKey(random_seed or 0))
+        B, L, D = gt_latent.shape
+
+        gt_mask = np.zeros((B, L, 1), bool)
+        gt_mask[:, round(mask_start * self.latent_sr) : round(mask_end * self.latent_sr)] = True
+
+        latents = self._generate_latents(
+            [text], L, guidance_scale, guidance_rescale, ddim_steps, eta,
+            random_seed, gt=gt_latent, gt_mask=jnp.asarray(gt_mask))
+        pred = scale_shift_re(latents, self.scale, self.shift)
+        # paste unmasked gt back (inference.py:104-105), then decode
+        pred = jnp.where(jnp.asarray(gt_mask), pred, gt_latent)
+        wav = np.asarray(self.autoencoder.decode(pred))[0, :, 0]
+
+        chunk = round((end_idx - start_idx) * sr)
+        output_audio[round(start_idx * sr) : round(start_idx * sr) + chunk] = wav[:chunk]
+        return sr, output_audio

@@ -1,0 +1,77 @@
+"""End-to-end API integration tests on the tiny config (random weights).
+
+Mirrors the reference's north-star call paths (SURVEY.md §3.1/§3.2):
+generate -> DDIM scan with CFG -> VAE decode; editing with boundary window
+and latent masking; batched multi-prompt generation.
+"""
+
+import numpy as np
+import pytest
+
+from tests.tiny_config import TINY_LATENT_SR, TINY_SR, make_tiny_ezaudio
+
+
+@pytest.fixture(scope="module")
+def ez():
+    return make_tiny_ezaudio()
+
+
+class TestGenerate:
+    def test_generate_audio(self, ez):
+        sr, wav = ez.generate_audio("a dog barking", length=2, ddim_steps=4,
+                                    random_seed=0)
+        assert sr == TINY_SR
+        assert wav.shape == (2 * TINY_SR,)
+        assert np.isfinite(wav).all()
+
+    def test_deterministic_given_seed(self, ez):
+        _, w1 = ez.generate_audio("rain", length=2, ddim_steps=4, random_seed=7)
+        _, w2 = ez.generate_audio("rain", length=2, ddim_steps=4, random_seed=7)
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_seed_changes_output(self, ez):
+        _, w1 = ez.generate_audio("rain", length=2, ddim_steps=4, random_seed=1)
+        _, w2 = ez.generate_audio("rain", length=2, ddim_steps=4, random_seed=2)
+        assert np.abs(w1 - w2).max() > 1e-6
+
+    def test_batched_prompts(self, ez):
+        sr, wav = ez.generate_audio(["a dog", "rain falling"], length=2,
+                                    ddim_steps=4, random_seed=0)
+        assert wav.shape == (2, 2 * TINY_SR)
+
+    def test_empty_prompt_disables_guidance(self, ez):
+        sr, wav = ez.generate_audio("", length=2, ddim_steps=4, random_seed=0)
+        assert wav.shape == (2 * TINY_SR,)
+
+    def test_no_guidance_path(self, ez):
+        sr, wav = ez.generate_audio("a dog", length=2, ddim_steps=4,
+                                    guidance_scale=None, random_seed=0)
+        assert wav.shape == (2 * TINY_SR,)
+
+
+class TestEditing:
+    def test_inpainting_preserves_context(self, ez, rng):
+        gt = (0.5 * np.sin(2 * np.pi * 110 * np.arange(2 * TINY_SR) / TINY_SR)).astype(np.float32)
+        sr, out = ez.editing_audio("a dog", boundary=0.25, gt_file=gt,
+                                   mask_start=0.5, mask_length=0.5,
+                                   ddim_steps=4, random_seed=0)
+        assert sr == TINY_SR
+        assert out.shape == gt.shape
+        # outside the edit window the waveform is untouched
+        norm = gt / (np.max(np.abs(gt)) + 1e-9)
+        np.testing.assert_array_equal(out[: int(0.2 * TINY_SR)], norm[: int(0.2 * TINY_SR)])
+        np.testing.assert_array_equal(out[int(1.3 * TINY_SR):], norm[int(1.3 * TINY_SR):])
+
+    def test_outpainting_extends(self, ez):
+        gt = (0.1 * np.random.default_rng(0).standard_normal(TINY_SR)).astype(np.float32)
+        sr, out = ez.editing_audio("wind", boundary=0.25, gt_file=gt,
+                                   mask_start=1.0, mask_length=1.0,
+                                   ddim_steps=4, random_seed=0)
+        assert len(out) == 2 * TINY_SR  # extended by the outpaint
+
+
+class TestJitCache:
+    def test_sampler_cache_reuse(self, ez):
+        f1 = ez._sampler(4, 5.0, 0.75, 1.0, False)
+        f2 = ez._sampler(4, 5.0, 0.75, 1.0, False)
+        assert f1 is f2
