@@ -1,0 +1,86 @@
+"""Benchmark: audio-seconds generated per wall-clock second per chip.
+
+Measures the full s3_xl text-to-audio path at the reference's default
+sampling cost (100 DDIM steps x 2 CFG forwards, guidance 5.0, rescale 0.75
+— reference api/ezaudio.py:101-103) with random weights (throughput is
+weight-independent), bf16 compute, on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is the real-time factor (baseline = 1.0 audio-sec/sec, i.e.
+real time): the reference publishes no quantitative numbers (BASELINE.md),
+so real-time is the natural fixed yardstick.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    ddim_steps = int(os.environ.get("BENCH_STEPS", "100"))
+    length_s = 10.0
+    model_name = os.environ.get("BENCH_MODEL", "s3_xl")
+
+    from ezaudio_tpu.api.ezaudio import EzAudio
+    from ezaudio_tpu.text.t5 import T5EncoderConfig
+
+    # Random weights; tiny T5 stands in for flan-t5-xl (the text encoder
+    # runs once per prompt outside the timed DDIM loop; its cost at batch 4
+    # is negligible next to 2x100 DiT XL forwards + VAE decode).
+    t5_cfg = None
+    if os.environ.get("BENCH_SMALL_T5", "1") == "1":
+        from ezaudio_tpu.config import get_model_config
+
+        d = get_model_config(model_name).model.context_dim
+        t5_cfg = T5EncoderConfig(vocab_size=512, d_model=d, d_kv=64,
+                                 d_ff=2 * d, num_layers=2, num_heads=8)
+
+    ez = EzAudio(model_name=model_name, t5_config=t5_cfg, dtype=jnp.bfloat16)
+
+    prompts = [
+        "a dog barking in the distance",
+        "heavy rain on a tin roof",
+        "a car engine starting",
+        "birds chirping in a forest",
+    ]
+    prompts = (prompts * ((batch + 3) // 4))[:batch]
+
+    # Warmup / compile
+    ez.generate_audio(prompts, length=length_s, ddim_steps=ddim_steps,
+                      random_seed=0)
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        sr, wav = ez.generate_audio(prompts, length=length_s,
+                                    ddim_steps=ddim_steps, random_seed=i)
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
+
+    n_chips = jax.local_device_count()
+    audio_sec = batch * length_s
+    value = audio_sec / elapsed / n_chips
+
+    result = {
+        "metric": f"{model_name} {ddim_steps}-step DDIM+CFG t2a throughput (batch {batch})",
+        "value": round(value, 3),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / 1.0, 3),  # baseline: 1x real time
+        "p50_latency_s_per_10s_clip": round(elapsed, 3),
+        "chips": n_chips,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -273,3 +273,39 @@ def load_torch_checkpoint(path: str, key: str | None = None) -> Dict[str, np.nda
 
 def strip_prefix(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# ControlNet (reference src/models/controlnet.py state dict layout)
+# ---------------------------------------------------------------------------
+
+def convert_controlnet_state_dict(sd: Dict[str, Any], model_cfg: dict,
+                                  controlnet_cfg: dict) -> Dict[str, Any]:
+    """Torch DiTControlNet state dict (ckpt['model']) -> our params."""
+    cfg = dict(model_cfg)
+    half = cfg["depth"] // 2
+    out: Dict[str, Any] = {
+        "patch_embed": _patch_embed(sd, "patch_embed"),
+        "time_embed": {
+            "fc1": linear(sd, "time_embed.mlp.0"),
+            "fc2": linear(sd, "time_embed.mlp.2"),
+        },
+    }
+    if cfg.get("context_dim") is not None:
+        out["context_embed"] = _mlp_embedder(sd, "context_embed")
+    if cfg.get("time_fusion", "token") in ("ada_single", "ada_sola", "ada_sola_bias"):
+        out["time_ada"] = linear(sd, "time_ada")
+    for i in range(half):
+        out[f"in_blocks_{i}"] = _dit_block(sd, f"in_blocks.{i}", cfg)
+        out[f"zero_blocks_{i}"] = linear(sd, f"controlnet_zero_blocks.{i}")
+
+    pre: Dict[str, Any] = {"conv_in": conv1d(sd, "controlnet_pre.conv_in"),
+                           "conv_out": conv1d(sd, "controlnet_pre.conv_out")}
+    if controlnet_cfg.get("cond_mask"):
+        pre["mask_embed"] = _np(sd["controlnet_pre.mask_embed"])
+    n_pyr = len(controlnet_cfg["cond_blocks"]) - 1
+    for i in range(n_pyr):
+        pre[f"pyramid{i}_conv1"] = conv1d(sd, f"controlnet_pre.blocks.{i}.0")
+        pre[f"pyramid{i}_conv2"] = conv1d(sd, f"controlnet_pre.blocks.{i}.2")
+    out["controlnet_pre"] = pre
+    return out

@@ -86,10 +86,12 @@ def sample_latents(
             step_noise = jax.random.normal(
                 jax.random.fold_in(key, i), latents.shape, latents.dtype
             )
-        latents = schedule.ddim_step(
+        new_latents = schedule.ddim_step(
             pred, latents, a_t[i], a_prev[i], eta=eta, noise=step_noise
         )
-        return latents, None
+        # keep the scan carry dtype stable under bf16 compute (the f32
+        # schedule tables promote the update to f32)
+        return new_latents.astype(latents.dtype), None
 
     latents, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
     return latents

@@ -50,6 +50,7 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     weight_norm: bool = False
+    zero_init: bool = False  # zero kernel+bias (ControlNet out convs)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,7 +70,8 @@ class Conv1d(nn.Module):
             norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True) + 0.0)
             kernel = (g / jnp.maximum(norm, 1e-12)) * v
         else:
-            kernel = self.param("kernel", _torch_conv_kernel_init(fan_in), kshape, jnp.float32)
+            kinit = nn.initializers.zeros if self.zero_init else _torch_conv_kernel_init(fan_in)
+            kernel = self.param("kernel", kinit, kshape, jnp.float32)
 
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
@@ -81,7 +83,8 @@ class Conv1d(nn.Module):
             dimension_numbers=("NHC", "HIO", "NHC"),
         )
         if self.use_bias:
-            b = self.param("bias", _torch_conv_kernel_init(fan_in), (self.out_channels,), jnp.float32)
+            binit = nn.initializers.zeros if self.zero_init else _torch_conv_kernel_init(fan_in)
+            b = self.param("bias", binit, (self.out_channels,), jnp.float32)
             y = y + b.astype(self.dtype)
         return y
 

@@ -1,0 +1,6 @@
+from ezaudio_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    param_shardings,
+)

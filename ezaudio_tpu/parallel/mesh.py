@@ -1,0 +1,93 @@
+"""Device mesh + sharding rules.
+
+The reference's only distribution strategy is NCCL data-parallel DDP via HF
+accelerate (SURVEY.md §2.8; audiotools/ml/accelerator.py:41-48).  The
+TPU-native equivalent is declarative: build a ``jax.sharding.Mesh`` over the
+slice, annotate the batch axis with ``NamedSharding(P("dp", ...))`` and let
+XLA insert the gradient ``psum`` over ICI under jit.  No hand-written
+communication exists anywhere in this framework.
+
+Axes:
+  * ``dp``   — batch (prompts, and the CFG pair at inference);
+  * ``fsdp`` — optional parameter/optimizer sharding (ZeRO-style): each
+    parameter's largest divisible axis is sharded, gathered on use by XLA;
+  * ``tp``   — reserved for tensor parallelism of the DiT (heads/mlp); the
+    EzAudio geometry (<=1B params) does not need it for parity, so the
+    default rules keep it unused.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``; the
+mesh spans all global devices in ICI-friendly order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    fsdp: int = 1,
+    tp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (dp, fsdp, tp) mesh.  ``dp=None`` -> all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, ("dp", "fsdp", "tp"))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a pytree with the leading axis sharded over dp (+fsdp if it
+    divides — batch scales with the full data-parallel world)."""
+    dp = mesh.shape["dp"] * mesh.shape["fsdp"]
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % dp == 0:
+            spec = P(("dp", "fsdp"))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def _fsdp_spec(shape: Tuple[int, ...], fsdp: int) -> P:
+    """Shard the largest divisible axis over fsdp; replicate otherwise."""
+    if fsdp == 1 or not shape:
+        return P()
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in order:
+        if shape[i] % fsdp == 0 and shape[i] >= 2 * fsdp:
+            spec = [None] * len(shape)
+            spec[i] = "fsdp"
+            return P(*spec)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedShardings for a parameter tree: fsdp-sharded when the axis
+    divides, replicated otherwise (dp never shards parameters)."""
+    fsdp = mesh.shape["fsdp"]
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, _fsdp_spec(getattr(x, "shape", ()), fsdp)),
+        params,
+    )
+
+
+def shard_params(mesh: Mesh, params):
+    shardings = param_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, params, shardings)

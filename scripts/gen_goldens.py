@@ -137,7 +137,75 @@ def gen_maskdit():
     print("maskdit_tiny.npz written", out_gen.shape)
 
 
+TINY_CN_CFG = dict(
+    cond_in=1, cond_blocks=[16, 32], cond_mask=True, cond_mask_prob=0.25,
+    cond_mask_ratio=[0.25, 0.5], cond_mask_span=4,
+)
+
+
+def gen_controlnet():
+    sys.path.insert(0, os.path.join(REF, "src"))
+    from models.controlnet import DiTControlNet
+
+    torch.manual_seed(1)
+    cfg = dict(TINY_DIT_CFG)
+    for k in ("mae", "mae_prob", "mask_ratio", "mask_span"):
+        cfg.pop(k)
+    model = DiTControlNet(**cfg, **TINY_CN_CFG).eval()
+    with torch.no_grad():
+        for n, p in model.named_parameters():
+            if p.abs().max() < 1e-8:
+                p.add_(0.05 * torch.randn_like(p))
+
+    B, L = 2, 32
+    x = torch.randn(B, 17, L)  # MAE-concatenated input (in_chans=17)
+    ctx = torch.randn(B, 5, 24)
+    cmask = torch.tensor([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], dtype=torch.bool)
+    t = torch.tensor([10, 500])
+    cond = torch.randn(B, 1, 2 * L)  # conditioner frames before /2 pyramid
+
+    with torch.no_grad():
+        skips = model(x, t, ctx, context_mask=cmask, condition=cond,
+                      conditioning_scale=0.7)
+
+    data = {
+        "x": x.numpy(), "ctx": ctx.numpy(), "cmask": cmask.numpy(),
+        "t": t.numpy(), "cond": cond.numpy(),
+        "n_skips": np.asarray(len(skips)),
+    }
+    for i, s in enumerate(skips):
+        data[f"skip{i}"] = s.numpy()
+    for k, v in state_dict_np(model).items():
+        data[f"sd.{k}"] = v
+    np.savez(os.path.join(OUT, "controlnet_tiny.npz"), **data)
+    print("controlnet_tiny.npz written", len(skips))
+
+
+def gen_energy():
+    # import the energy module directly (the conditions package __init__
+    # pulls in librosa.filters which this image lacks)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_energy", os.path.join(REF, "src", "models", "conditions", "energy.py"))
+    ref_energy = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_energy)
+    EnergyExtractor = ref_energy.EnergyExtractor
+
+    torch.manual_seed(2)
+    ext = EnergyExtractor(hop_size=240, window_size=1920, padding="reflect",
+                          min_db=-60, norm=True)
+    audio = torch.randn(2, 24000) * 0.3
+    with torch.no_grad():
+        energy = ext(audio)
+    np.savez(os.path.join(OUT, "energy_tiny.npz"),
+             audio=audio.numpy(), energy=energy.numpy())
+    print("energy_tiny.npz written", energy.shape)
+
+
 if __name__ == "__main__":
     _stub_missing_modules()
     gen_vae()
     gen_maskdit()
+    gen_controlnet()
+    gen_energy()

@@ -19,6 +19,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The image's sitecustomize (PYTHONPATH=/root/.axon_site) re-forces the
+# 'axon' TPU platform over the env var; the config knob wins over both.
+jax.config.update("jax_platforms", "cpu")
+
 # The image's default matmul precision is reduced (bf16-class) even on CPU;
 # parity tests need true float32 matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
