@@ -1,0 +1,116 @@
+"""Audio loss / quality metric library.
+
+Equivalents of the reference's metric stack (audiotools/metrics/):
+  * ``multiscale_stft_loss``  — MultiScaleSTFTLoss (spectral.py:11-95):
+    sum over window lengths of log-magnitude L1 (clamped at 1e-5, x
+    log-weight) + magnitude L1;
+  * ``mel_spectrogram_loss``  — MelSpectrogramLoss (spectral.py:98-193):
+    same decomposition on mel spectrograms over multiple scales;
+  * ``si_sdr``                — SISDRLoss (distance.py:45-126);
+  * ``l1_loss``               — plain waveform L1;
+  * ``stft_phase_loss``       — PhaseLoss (spectral.py:195-239).
+
+All functions take (B, T) waveforms, run under jit, and return scalars
+(or per-item vectors with ``reduce=False`` where noted).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ezaudio_tpu.audio.stft import mel_spectrogram, stft
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def si_sdr(estimate: jnp.ndarray, reference: jnp.ndarray,
+           scaling: bool = True, zero_mean: bool = True,
+           reduce: bool = True) -> jnp.ndarray:
+    """Scale-invariant SDR in dB (higher is better).  Matches the
+    audiotools SISDRLoss math (distance.py:75-118) without its sign flip."""
+    eps = 1e-8
+    if zero_mean:
+        estimate = estimate - estimate.mean(axis=-1, keepdims=True)
+        reference = reference - reference.mean(axis=-1, keepdims=True)
+    if scaling:
+        alpha = (jnp.sum(estimate * reference, axis=-1, keepdims=True) + eps) / (
+            jnp.sum(reference**2, axis=-1, keepdims=True) + eps)
+    else:
+        alpha = 1.0
+    e_true = alpha * reference
+    e_res = estimate - e_true
+    sdr = 10 * jnp.log10(
+        (jnp.sum(e_true**2, axis=-1) + eps) / (jnp.sum(e_res**2, axis=-1) + eps))
+    return sdr.mean() if reduce else sdr
+
+
+def _stft_mag(x, n_fft, hop):
+    return jnp.abs(stft(x, n_fft, hop))
+
+
+def multiscale_stft_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    window_lengths: Sequence[int] = (2048, 512),
+    clamp_eps: float = 1e-5,
+    mag_weight: float = 1.0,
+    log_weight: float = 1.0,
+    pow: float = 2.0,
+) -> jnp.ndarray:
+    """Multi-scale STFT loss (audiotools defaults: windows 2048/512,
+    hop = window/4, log-clamped-magnitude^pow L1 + magnitude L1)."""
+    loss = 0.0
+    for w in window_lengths:
+        mx = _stft_mag(pred, w, w // 4)
+        my = _stft_mag(target, w, w // 4)
+        logx = jnp.log10(jnp.maximum(mx, clamp_eps) ** pow)
+        logy = jnp.log10(jnp.maximum(my, clamp_eps) ** pow)
+        loss = loss + log_weight * jnp.mean(jnp.abs(logx - logy))
+        loss = loss + mag_weight * jnp.mean(jnp.abs(mx - my))
+    return loss
+
+
+def mel_spectrogram_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    sr: int = 24000,
+    n_mels: Sequence[int] = (150, 80),
+    window_lengths: Sequence[int] = (2048, 512),
+    clamp_eps: float = 1e-5,
+    mag_weight: float = 1.0,
+    log_weight: float = 1.0,
+    pow: float = 2.0,
+    fmin: Sequence[float] = (0.0, 0.0),
+    fmax: Optional[Sequence[Optional[float]]] = None,
+) -> jnp.ndarray:
+    """Multi-scale mel loss (audiotools spectral.py:98-193 defaults)."""
+    fmax = fmax or [None] * len(n_mels)
+    loss = 0.0
+    for nm, w, lo, hi in zip(n_mels, window_lengths, fmin, fmax):
+        mx = mel_spectrogram(pred, sr, w, w // 4, nm, lo, hi)
+        my = mel_spectrogram(target, sr, w, w // 4, nm, lo, hi)
+        logx = jnp.log10(jnp.maximum(mx, clamp_eps) ** pow)
+        logy = jnp.log10(jnp.maximum(my, clamp_eps) ** pow)
+        loss = loss + log_weight * jnp.mean(jnp.abs(logx - logy))
+        loss = loss + mag_weight * jnp.mean(jnp.abs(mx - my))
+    return loss
+
+
+def stft_phase_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                    window_lengths: Sequence[int] = (2048, 512),
+                    weight: float = 1.0) -> jnp.ndarray:
+    """Phase distance weighted by reference magnitude (spectral.py:195-239)."""
+    loss = 0.0
+    for w in window_lengths:
+        sx = stft(pred, w, w // 4)
+        sy = stft(target, w, w // 4)
+        d = jnp.angle(sx) - jnp.angle(sy)
+        # wrap to [-pi, pi]
+        d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
+        mag = jnp.abs(sy)
+        loss = loss + weight * jnp.mean(mag * d**2) / jnp.maximum(jnp.mean(mag), 1e-8)
+    return loss
