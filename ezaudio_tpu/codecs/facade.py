@@ -26,14 +26,30 @@ from ezaudio_tpu.codecs.oobleck import AudioVAE, vae_from_config, vae_sample
 
 class AutoencoderFacade:
     """Stateful convenience wrapper holding codec params (host object; all
-    compute inside is jitted pure functions)."""
+    compute inside is jitted pure functions).
 
-    def __init__(self, model: AudioVAE, params, quantization_first: bool = True,
+    ``model_type``: 'stable_vae' (Oobleck VAE, the EzAudio production codec)
+    or 'dac' (residual-VQ codec) — the same switch as the reference facade.
+    """
+
+    def __init__(self, model, params, quantization_first: bool = True,
                  model_type: str = "stable_vae"):
         self.model = model
         self.params = params
         self.quantization_first = quantization_first
         self.model_type = model_type
+        if model_type == "dac":
+            self.downsampling_ratio = model.hop_length
+            # encode -> (quantized z) if q_first else raw encoder output
+            self._enc_dac_q = jax.jit(lambda p, a: model.apply(
+                {"params": p}, a, method=lambda m, a: m.encode(a)[0]))
+            self._enc_dac_raw = jax.jit(lambda p, a: model.apply(
+                {"params": p}, a, method=lambda m, a: m.encoder(a)))
+            self._dec_dac = jax.jit(lambda p, z: model.apply(
+                {"params": p}, z, method=lambda m, z: m.decode(z)))
+            self._quant_dac = jax.jit(lambda p, z: model.apply(
+                {"params": p}, z, method=lambda m, z: m.quantizer(z)[0]))
+            return
         self.downsampling_ratio = model.downsampling_ratio
 
         # jitted paths
@@ -52,11 +68,15 @@ class AutoencoderFacade:
     def encode(self, audio, key: Optional[jax.Array] = None, sample: bool = True):
         """audio (B, T, 1) -> latent (B, L, C).
 
-        With ``quantization_first`` (the EzAudio setting) the VAE bottleneck
-        sampling happens here; ``sample=False`` returns the posterior mean
-        (deterministic encode).
+        With ``quantization_first`` (the EzAudio setting) the bottleneck
+        (VAE sampling / RVQ) happens here; ``sample=False`` returns the
+        posterior mean for the VAE (deterministic encode).
         """
-        ms = self._enc(self.params, jnp.asarray(audio))
+        audio = jnp.asarray(audio)
+        if self.model_type == "dac":
+            return (self._enc_dac_q if self.quantization_first
+                    else self._enc_dac_raw)(self.params, audio)
+        ms = self._enc(self.params, audio)
         if self.quantization_first:
             if sample and key is None:
                 key = jax.random.PRNGKey(0)
@@ -66,6 +86,10 @@ class AutoencoderFacade:
     def decode(self, embedding):
         """latent (B, L, C) -> audio (B, T, 1)."""
         z = jnp.asarray(embedding)
+        if self.model_type == "dac":
+            if not self.quantization_first:
+                z = self._quant_dac(self.params, z)
+            return self._dec_dac(self.params, z)
         if not self.quantization_first:
             z = vae_sample(jax.random.PRNGKey(0), z, sample=True)
         return self._dec(self.params, z)

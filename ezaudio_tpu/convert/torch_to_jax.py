@@ -309,3 +309,63 @@ def convert_controlnet_state_dict(sd: Dict[str, Any], model_cfg: dict,
         pre[f"pyramid{i}_conv2"] = conv1d(sd, f"controlnet_pre.blocks.{i}.2")
     out["controlnet_pre"] = pre
     return out
+
+
+# ---------------------------------------------------------------------------
+# DAC codec (reference src/modules/dac/model/dac.py state dict layout)
+# ---------------------------------------------------------------------------
+
+def _dac_snake(sd, prefix) -> Dict[str, np.ndarray]:
+    return {"alpha": _np(sd[f"{prefix}.alpha"]).reshape(-1)}
+
+
+def _dac_res_unit(sd, prefix) -> Dict[str, Any]:
+    # ResidualUnit.block = [Snake1d, WNConv(k7), Snake1d, WNConv(k1)]
+    return {
+        "act1": _dac_snake(sd, f"{prefix}.block.0"),
+        "conv1": wn_conv1d(sd, f"{prefix}.block.1"),
+        "act2": _dac_snake(sd, f"{prefix}.block.2"),
+        "conv2": wn_conv1d(sd, f"{prefix}.block.3"),
+    }
+
+
+def convert_dac_state_dict(sd: Dict[str, Any], n_enc_blocks: int = 4,
+                           n_dec_blocks: int = 4, n_codebooks: int = 9
+                           ) -> Dict[str, Any]:
+    """Torch DAC state dict -> our DAC params."""
+    enc: Dict[str, Any] = {"stem": wn_conv1d(sd, "encoder.block.0")}
+    for i in range(n_enc_blocks):
+        p = f"encoder.block.{1 + i}.block"
+        enc[f"block{i}"] = {
+            "res0": _dac_res_unit(sd, f"{p}.0"),
+            "res1": _dac_res_unit(sd, f"{p}.1"),
+            "res2": _dac_res_unit(sd, f"{p}.2"),
+            "act": _dac_snake(sd, f"{p}.3"),
+            "down": wn_conv1d(sd, f"{p}.4"),
+        }
+    enc["act"] = _dac_snake(sd, f"encoder.block.{1 + n_enc_blocks}")
+    enc["head"] = wn_conv1d(sd, f"encoder.block.{2 + n_enc_blocks}")
+
+    dec: Dict[str, Any] = {"stem": wn_conv1d(sd, "decoder.model.0")}
+    for i in range(n_dec_blocks):
+        p = f"decoder.model.{1 + i}.block"
+        dec[f"block{i}"] = {
+            "act": _dac_snake(sd, f"{p}.0"),
+            "up": wn_conv_transpose1d(sd, f"{p}.1"),
+            "res0": _dac_res_unit(sd, f"{p}.2"),
+            "res1": _dac_res_unit(sd, f"{p}.3"),
+            "res2": _dac_res_unit(sd, f"{p}.4"),
+        }
+    dec["act"] = _dac_snake(sd, f"decoder.model.{1 + n_dec_blocks}")
+    dec["head"] = wn_conv1d(sd, f"decoder.model.{2 + n_dec_blocks}")
+
+    quant: Dict[str, Any] = {}
+    for i in range(n_codebooks):
+        p = f"quantizer.quantizers.{i}"
+        quant[f"q{i}"] = {
+            "in_proj": wn_conv1d(sd, f"{p}.in_proj"),
+            "out_proj": wn_conv1d(sd, f"{p}.out_proj"),
+            "codebook": _np(sd[f"{p}.codebook.weight"]),
+        }
+
+    return {"encoder": enc, "decoder": dec, "quantizer": quant}

@@ -191,3 +191,49 @@ def zero_linear(in_features, out_features, dtype=jnp.float32, name=None, use_bia
         dtype=dtype,
         name=name,
     )
+
+
+class Conv2d(nn.Module):
+    """torch-parity 2D conv, layout (B, H, W, C), kernel (kh, kw, in, out).
+
+    Needed by the DAC discriminators (MPD/MRD).  Weight norm follows torch
+    dim=0 (per-out-channel over (in, kh, kw)).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: tuple
+    stride: tuple = (1, 1)
+    padding: tuple = (0, 0)
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        fan_in = self.in_channels * kh * kw
+        kshape = (kh, kw, self.in_channels, self.out_channels)
+        if self.weight_norm:
+            v = self.param("v", _torch_conv_kernel_init(fan_in), kshape, jnp.float32)
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2))),
+                (self.out_channels,),
+            )
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2), keepdims=True))
+            kernel = (g / jnp.maximum(norm, 1e-12)) * v
+        else:
+            kernel = self.param("kernel", _torch_conv_kernel_init(fan_in), kshape, jnp.float32)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", _torch_conv_kernel_init(fan_in), (self.out_channels,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y

@@ -209,3 +209,55 @@ if __name__ == "__main__":
     gen_maskdit()
     gen_controlnet()
     gen_energy()
+
+
+def gen_dac():
+    import torch.nn as tnn
+
+    # audiotools stubs rich enough for dac imports
+    at = sys.modules.get("audiotools")
+    ml = types.ModuleType("audiotools.ml")
+
+    class _BaseModel(tnn.Module):
+        INTERN = []
+        EXTERN = []
+
+    ml.BaseModel = _BaseModel
+    ml.Accelerator = object
+    at.ml = ml
+    at.STFTParams = object
+    sys.modules["audiotools.ml"] = ml
+    # argbind only used by the dac CLI utils package
+    ab = types.ModuleType("argbind")
+    ab.bind = lambda *a, **k: (lambda f: f)
+    ab.parse_args = lambda: {}
+    ab.scope = lambda *a, **k: None
+    sys.modules.setdefault("argbind", ab)
+    tq = types.ModuleType("tqdm")
+    tq.tqdm = lambda x, **k: x
+    sys.modules.setdefault("tqdm", tq)
+    sys.path.insert(0, os.path.join(REF, "src", "modules"))
+    from dac.model.dac import DAC
+
+    torch.manual_seed(3)
+    model = DAC(encoder_dim=4, encoder_rates=[2, 4], latent_dim=8,
+                decoder_dim=16, decoder_rates=[4, 2], n_codebooks=3,
+                codebook_size=16, codebook_dim=4, sample_rate=8000).eval()
+
+    x = torch.randn(2, 1, 64) * 0.5
+    with torch.no_grad():
+        out = model(x)
+
+    data = {
+        "x": x.numpy(),
+        "audio": out["audio"].numpy(),
+        "z": out["z"].numpy(),
+        "codes": out["codes"].numpy(),
+        "latents": out["latents"].numpy(),
+        "commitment": out["vq/commitment_loss"].numpy(),
+        "codebook": out["vq/codebook_loss"].numpy(),
+    }
+    for k, v in state_dict_np(model).items():
+        data[f"sd.{k}"] = v
+    np.savez(os.path.join(OUT, "dac_tiny.npz"), **data)
+    print("dac_tiny.npz written", out["audio"].shape)

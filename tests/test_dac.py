@@ -1,0 +1,136 @@
+"""DAC codec tests: golden parity, RVQ properties, DACFile round trip,
+discriminator shapes, GAN loss behavior."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+TINY = dict(encoder_dim=4, encoder_rates=(2, 4), latent_dim=8,
+            decoder_dim=16, decoder_rates=(4, 2), n_codebooks=3,
+            codebook_size=16, codebook_dim=4, sample_rate=8000)
+
+
+def load(name):
+    path = os.path.join(FIXTURES, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} missing — run scripts/gen_goldens.py")
+    return dict(np.load(path, allow_pickle=False))
+
+
+@pytest.fixture(scope="module")
+def dac_pair():
+    from ezaudio_tpu.codecs.dac import DAC
+    from ezaudio_tpu.convert.torch_to_jax import convert_dac_state_dict
+
+    d = load("dac_tiny.npz")
+    sd = {k[len("sd."):]: v for k, v in d.items() if k.startswith("sd.")}
+    params = convert_dac_state_dict(sd, n_enc_blocks=2, n_dec_blocks=2,
+                                    n_codebooks=3)
+    model = DAC(**TINY)
+    return model, {"params": params}, d
+
+
+class TestDACParity:
+    def test_full_forward(self, dac_pair):
+        model, params, d = dac_pair
+        out = model.apply(params, jnp.asarray(d["x"].transpose(0, 2, 1)))
+        np.testing.assert_array_equal(np.asarray(out["codes"]), d["codes"])
+        np.testing.assert_allclose(np.asarray(out["z"]),
+                                   d["z"].transpose(0, 2, 1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["latents"]),
+                                   d["latents"].transpose(0, 2, 1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["audio"]),
+                                   d["audio"].transpose(0, 2, 1), atol=1e-4)
+        np.testing.assert_allclose(float(out["vq/commitment_loss"]),
+                                   float(d["commitment"]), rtol=1e-4)
+        np.testing.assert_allclose(float(out["vq/codebook_loss"]),
+                                   float(d["codebook"]), rtol=1e-4)
+
+
+class TestRVQ:
+    def test_from_codes_roundtrip(self, dac_pair):
+        model, params, d = dac_pair
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))
+        out = model.apply(params, x)
+
+        zq2 = model.apply(params, out["codes"],
+                          method=lambda m, c: m.quantizer.from_codes(c)[0])
+        np.testing.assert_allclose(np.asarray(zq2), np.asarray(out["z"]), atol=1e-5)
+
+    def test_n_quantizers_partial(self, dac_pair):
+        model, params, d = dac_pair
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))
+        out1 = model.apply(params, x, n_quantizers=1)
+        out3 = model.apply(params, x, n_quantizers=3)
+        assert out1["codes"].shape[1] == 1
+        assert out3["codes"].shape[1] == 3
+
+    def test_quantizer_dropout_training(self, dac_pair):
+        from ezaudio_tpu.codecs.dac import DAC
+
+        model = DAC(**dict(TINY, quantizer_dropout=0.5))
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 64, 1))
+        variables = model.init({"params": key, "dropout": key}, x, train=True)
+        out = model.apply(variables, x, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        assert out["codes"].shape == (4, 3, 8)
+        assert np.isfinite(float(out["vq/commitment_loss"]))
+
+    def test_straight_through_gradients(self, dac_pair):
+        model, params, d = dac_pair
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))
+
+        def loss(p):
+            out = model.apply(p, x)
+            return jnp.mean(jnp.square(out["audio"])) + out["vq/commitment_loss"]
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(v)).all() for v in leaves)
+        # encoder gets gradient through the straight-through estimator
+        enc_g = jax.tree.leaves(g["params"]["encoder"])
+        assert max(float(jnp.abs(v).max()) for v in enc_g) > 0
+
+
+class TestDACFile:
+    def test_compress_decompress_roundtrip(self, dac_pair, tmp_path):
+        from ezaudio_tpu.codecs.dacfile import DACCodec, DACFile
+
+        model, params, d = dac_pair
+        codec = DACCodec(model, params["params"])
+        wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(24000) / 8000)).astype(np.float32)
+        f = codec.compress(wav, 8000, win_duration=1.0)
+        assert f.codes.shape[1] == 3
+        p = f.save(str(tmp_path / "clip"))
+        f2 = DACFile.load(p)
+        np.testing.assert_array_equal(f2.codes, f.codes)
+        rec = codec.decompress(f2)
+        assert rec.shape == wav.shape
+        assert np.isfinite(rec).all()
+
+
+class TestDiscriminator:
+    def test_shapes_and_gan_losses(self, rng):
+        from ezaudio_tpu.codecs.discriminator import (
+            Discriminator, discriminator_loss, generator_loss)
+
+        disc = Discriminator(periods=(2, 3), fft_sizes=(512,), rates=(),
+                             sample_rate=8000)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (1, 4096, 1))
+        variables = disc.init(key, x)
+        fm_real = disc.apply(variables, x)
+        fm_fake = disc.apply(variables, x * 0.5 + 0.1)
+        assert len(fm_real) == 3  # 2 MPD + 1 MRD
+        ld = float(discriminator_loss(fm_fake, fm_real))
+        lg, lf = generator_loss(fm_fake, fm_real)
+        assert np.isfinite([ld, float(lg), float(lf)]).all()
+        # identical inputs -> zero feature-matching loss
+        _, lf0 = generator_loss(fm_real, fm_real)
+        assert float(lf0) == 0.0
