@@ -1,0 +1,136 @@
+"""Training entry point: ``python -m ezaudio_tpu.training.train_cli``.
+
+Behavioral parity with reference ``src/train.py``:
+  * two-stage switch: ``context_dim: null`` -> MAE pretrain (no text), else
+    text-to-audio stage (src/train.py:174-180);
+  * per-step pipeline: VAE-encode batch -> scale_shift -> noise + uniform
+    timesteps -> v/epsilon target -> MaskDiT with span-mask MAE -> masked
+    (min-SNR) MSE -> clipped AdamW with warmup (src/train.py:262-313);
+  * 10% caption CFG dropout (inside the jitted step, vs the reference's
+    host-side swap, train.py:109-127);
+  * txt logging every ``log_step``; checkpoint every ``save_every_step``
+    (orbax full train state: params + optimizer + step);
+  * fine-tune resume from a converted torch checkpoint (``--ckpt``).
+
+TPU design: VAE encode + T5 encode + train step each are single jitted
+programs; batches shard over the dp(+fsdp) mesh; an epoch is a host loop
+feeding device-resident steps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-name", type=str, required=True)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--save-every-step", type=int, default=5000)
+    p.add_argument("--random-seed", type=int, default=2024)
+    p.add_argument("--log-step", type=int, default=100)
+    p.add_argument("--log-dir", type=str, default="../logs/")
+    p.add_argument("--save-dir", type=str, default="../ckpts/")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="torch .pt to fine-tune from (converted on load)")
+    p.add_argument("--vae-ckpt", type=str, default=None)
+    p.add_argument("--mesh-fsdp", type=int, default=1)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ezaudio_tpu.api.ezaudio import EzAudio
+    from ezaudio_tpu.config import load_yaml_with_includes
+    from ezaudio_tpu.data.dataset import EACaps, ResumableIterator
+    from ezaudio_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from ezaudio_tpu.training.trainer import Trainer
+    from ezaudio_tpu.utils import scale_shift  # noqa: F401  (used in step)
+
+    params_cfg = load_yaml_with_includes(args.config_name)
+    stage = "audioset" if params_cfg.model.context_dim is None else "audiocaps"
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    # Model stack (random init or fine-tune ckpt); EzAudio bundles
+    # DiT + VAE + T5 + schedule construction and conversion.
+    ez = EzAudio(config=params_cfg.to_dict(), ckpt_path=args.ckpt,
+                 vae_path=args.vae_ckpt, dtype=dtype, seed=args.random_seed)
+
+    mesh = make_mesh(fsdp=args.mesh_fsdp)
+    trainer = Trainer.create(
+        ez.dit, ez.noise_scheduler, ez.dit_params["params"],
+        params_cfg.opt.to_dict() if "opt" in params_cfg else {},
+        mesh=mesh, scale=ez.scale, shift=ez.shift,
+        train_frames=params_cfg.get("data", {}).get("train_frames"))
+    trainer.state = trainer.state.replace(
+        params=shard_params(mesh, trainer.state.params))
+
+    train_set = EACaps(**params_cfg.data.train.to_dict(),
+                       seed=args.random_seed)
+    batch_size = params_cfg.opt.batch_size
+    it = ResumableIterator(train_set, batch_size, seed=args.random_seed)
+
+    # precomputed uncond embedding for CFG dropout
+    uncond, uncond_mask = (None, None)
+    if stage == "audiocaps":
+        uncond, uncond_mask = ez.embed_text([""])
+
+    log_dir = os.path.join(args.log_dir, params_cfg.model_name)
+    save_dir = os.path.join(args.save_dir, params_cfg.model_name)
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(save_dir, exist_ok=True)
+
+    rng = jax.random.PRNGKey(args.random_seed)
+    losses, t0 = [], time.time()
+    global_step = 0
+    encode_key = jax.random.PRNGKey(args.random_seed + 1)
+
+    for batch in it:
+        # host->device: VAE encode + text encode (both jitted)
+        latents = ez.autoencoder.encode(
+            jnp.asarray(batch["audio"])[:, :, None],
+            key=jax.random.fold_in(encode_key, global_step))
+        if stage == "audiocaps":
+            if "text_mask" in batch:  # offline embeddings
+                text, text_mask = jnp.asarray(batch["text"]), jnp.asarray(batch["text_mask"])
+            else:
+                text, text_mask = ez.embed_text(batch["text"])
+        else:
+            text, text_mask = None, None
+
+        step_batch = {"latents": latents, "text": text, "text_mask": text_mask,
+                      "uncond": uncond, "uncond_mask": uncond_mask}
+        metrics = trainer.train_step(shard_batch(mesh, step_batch), rng)
+        losses.append(float(metrics["loss"]))
+        global_step += 1
+
+        if global_step % args.log_step == 0:
+            msg = (f"{time.asctime()}  step {global_step}  "
+                   f"loss {np.mean(losses[-args.log_step:]):.6f}  "
+                   f"({args.log_step / (time.time() - t0):.2f} it/s)\n")
+            with open(os.path.join(log_dir, "log.txt"), "a") as f:
+                f.write(msg)
+            print(msg, end="")
+            t0 = time.time()
+
+        if global_step % args.save_every_step == 0:
+            trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
+
+        if args.max_steps and global_step >= args.max_steps:
+            break
+
+    trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()
