@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -43,6 +44,7 @@ class Attention(nn.Module):
     rope_mode: str = "none"
     zero_proj: bool = False  # zero-init output proj (cross-attn, udit.py init)
     extras: int = 0  # prefix tokens excluded from RoPE in x_only/dual modes
+    attention_impl: str = "auto"  # auto | einsum | pallas
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -97,8 +99,16 @@ class Attention(nn.Module):
             else:
                 raise NotImplementedError(self.rope_mode)
 
-        mask = make_attention_mask(L, context_mask)
-        out = dot_product_attention(q, k, v, mask=mask, scale=scale)
+        impl = self.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
+        if impl == "pallas":
+            from ezaudio_tpu.ops.pallas.attention import fused_attention
+
+            out = fused_attention(q, k, v, key_mask=context_mask, scale=scale)
+        else:
+            mask = make_attention_mask(L, context_mask)
+            out = dot_product_attention(q, k, v, mask=mask, scale=scale)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
         proj = zero_linear if self.zero_proj else xavier_linear
         return proj(self.dim, self.dim, dtype=self.dtype, name="proj")(out)
