@@ -1,0 +1,127 @@
+"""Waveform effects — equivalents of the reference's
+``audiotools/core/effects.py`` EffectMixin subset that carries behavior:
+mix at SNR, IR convolution, low/high-pass, volume, clipping, mu-law
+quantization, preemphasis; plus windowed overlap-add from ``dsp.py``.
+
+Host-side numpy (data pipeline / evaluation); each function maps an
+(B, C, T) or (T,) float32 array to the same shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy.signal import fftconvolve
+
+from ezaudio_tpu.audio.loudness import integrated_loudness
+from ezaudio_tpu.data.wav_aug import (  # noqa: F401 (re-exported)
+    highpass_biquad,
+    lowpass_biquad,
+    mu_law_decode,
+    mu_law_encode,
+)
+
+
+def _loudness(x, sr):
+    return integrated_loudness(np.asarray(x).reshape(-1), sr)
+
+
+def mix(signal: np.ndarray, other: np.ndarray, sr: int, snr: float = 10.0
+        ) -> np.ndarray:
+    """Mix ``other`` into ``signal`` at the given SNR in dB
+    (effects.py:27-76): scale other so loudness(signal) - loudness(other)
+    == snr, then add."""
+    ls = _loudness(signal, sr)
+    lo = _loudness(other, sr)
+    if not np.isfinite(ls) or not np.isfinite(lo):
+        return signal + other
+    gain_db = ls - snr - lo
+    return signal + other * 10 ** (gain_db / 20)
+
+
+def apply_ir(signal: np.ndarray, ir: np.ndarray) -> np.ndarray:
+    """Convolve with an impulse response, peak-aligned and length-preserving
+    (effects.py convolve)."""
+    peak = int(np.argmax(np.abs(ir)))
+    out = fftconvolve(signal, ir, mode="full")
+    return out[..., peak : peak + signal.shape[-1]].astype(np.float32)
+
+
+def volume_change(signal: np.ndarray, db: float) -> np.ndarray:
+    return signal * 10 ** (db / 20)
+
+
+def clip_distortion(signal: np.ndarray, clip_percentile: float) -> np.ndarray:
+    """Clip at a percentile of the absolute amplitude (effects.py clip_distortion)."""
+    thresh = np.percentile(np.abs(signal), clip_percentile * 100)
+    return np.clip(signal, -thresh, thresh).astype(np.float32)
+
+
+def quantization(signal: np.ndarray, quantization_channels: int) -> np.ndarray:
+    """Uniform amplitude quantization (effects.py quantization)."""
+    x = np.clip(signal, -1, 1)
+    q = np.round(x * (quantization_channels / 2)) / (quantization_channels / 2)
+    return q.astype(np.float32)
+
+
+def mulaw_quantization(signal: np.ndarray, quantization_channels: int) -> np.ndarray:
+    return mu_law_decode(mu_law_encode(signal, quantization_channels),
+                         quantization_channels)
+
+
+def preemphasis(signal: np.ndarray, coef: float = 0.85) -> np.ndarray:
+    """y[t] = x[t] - coef * x[t-1] (dsp.py preemphasis)."""
+    out = np.array(signal, np.float32)
+    out[..., 1:] -= coef * signal[..., :-1]
+    return out
+
+
+def equalizer(signal: np.ndarray, sr: int, band_gains_db: np.ndarray,
+              n_fft: int = 2048) -> np.ndarray:
+    """Mel-band graph EQ (effects.py equalizer): gains (n_bands,) in dB
+    applied via an FFT filter built from the mel filterbank."""
+    from ezaudio_tpu.audio.stft import mel_filterbank
+
+    fb = mel_filterbank(sr, n_fft, len(band_gains_db))  # (bands, F)
+    weights = fb / np.maximum(fb.sum(axis=0, keepdims=True), 1e-8)
+    H = (weights * (10 ** (np.asarray(band_gains_db)[:, None] / 20))).sum(axis=0)
+    T = signal.shape[-1]
+    spec = np.fft.rfft(signal, n=max(T, n_fft), axis=-1)
+    freqs = np.fft.rfftfreq(max(T, n_fft), 1 / sr)
+    bin_freqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    Hi = np.interp(freqs, bin_freqs, H)
+    out = np.fft.irfft(spec * Hi, n=max(T, n_fft), axis=-1)[..., :T]
+    return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# windowing / overlap-add (audiotools/core/dsp.py:31-151)
+# ---------------------------------------------------------------------------
+
+def collect_windows(signal: np.ndarray, window_duration: float,
+                    hop_duration: float, sr: int) -> np.ndarray:
+    """(..., T) -> (n_windows, ..., win) strided frames."""
+    win = int(window_duration * sr)
+    hop = int(hop_duration * sr)
+    T = signal.shape[-1]
+    n = max(1, 1 + (T - win) // hop)
+    idx = np.arange(n)[:, None] * hop + np.arange(win)[None]
+    idx = np.minimum(idx, T - 1)
+    return np.moveaxis(signal[..., idx], -2, 0)
+
+
+def overlap_and_add(windows: np.ndarray, hop_duration: float, sr: int,
+                    length: Optional[int] = None) -> np.ndarray:
+    """Inverse of collect_windows with a hann^2-normalized overlap-add."""
+    n, *rest, win = windows.shape
+    hop = int(hop_duration * sr)
+    T = win + (n - 1) * hop
+    w = np.hanning(win).astype(np.float32)
+    out = np.zeros((*rest, T), np.float32)
+    norm = np.zeros(T, np.float32)
+    for i in range(n):
+        out[..., i * hop : i * hop + win] += windows[i] * w
+        norm[i * hop : i * hop + win] += w**2
+    out = out / np.maximum(norm, 1e-8)
+    return out[..., :length] if length else out

@@ -1,0 +1,174 @@
+"""Tests for the audiotools-equivalent layer: AudioSignal, effects,
+transforms, tracker, experiment."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ezaudio_tpu.audio.signal import AudioSignal
+
+
+@pytest.fixture
+def sine(tmp_path):
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = str(tmp_path / "sine.wav")
+    AudioSignal(x, sr).write(path)
+    return path, x, sr
+
+
+class TestAudioSignal:
+    def test_load_and_props(self, sine):
+        path, x, sr = sine
+        sig = AudioSignal.load(path)
+        assert sig.sample_rate == sr
+        assert sig.batch_size == 1 and sig.num_channels == 1
+        assert abs(sig.signal_duration - 2.0) < 1e-3
+
+    def test_excerpt_fixed_length(self, sine):
+        path, _, sr = sine
+        ex = AudioSignal.excerpt(path, 0.5, state=np.random.default_rng(0))
+        assert ex.signal_length == sr // 2
+
+    def test_salient_excerpt_prefers_loud(self, tmp_path):
+        sr = 8000
+        x = np.zeros(4 * sr, np.float32)
+        x[2 * sr : 3 * sr] = 0.5 * np.sin(
+            2 * np.pi * 220 * np.arange(sr) / sr)
+        p = str(tmp_path / "sparse.wav")
+        AudioSignal(x, sr).write(p)
+        ex = AudioSignal.salient_excerpt(p, 0.5, loudness_cutoff=-30,
+                                         state=np.random.default_rng(0))
+        assert np.abs(ex.audio_data).max() > 0.1
+
+    def test_resample_and_pad(self, sine):
+        path, _, sr = sine
+        sig = AudioSignal.load(path).resample(4000)
+        assert sig.sample_rate == 4000 and abs(sig.signal_length - 8000) <= 1
+        sig.zero_pad_to(10000)
+        assert sig.signal_length == 10000
+
+    def test_normalize_loudness(self, sine):
+        path, _, _ = sine
+        sig = AudioSignal.load(path).normalize(-30)
+        assert abs(sig.loudness() - (-30)) < 1.0
+
+    def test_stft_mel_shapes(self, sine):
+        path, _, sr = sine
+        sig = AudioSignal.load(path)
+        spec = sig.stft(512, 128)
+        assert spec.shape[:2] == (1, 1) and spec.shape[2] == 257
+        mel = sig.mel_spectrogram(40, 512, 128)
+        assert mel.shape[2] == 40
+
+    def test_batch_collate(self, sine):
+        path, _, sr = sine
+        a = AudioSignal.load(path)
+        b = AudioSignal.load(path).truncate_samples(5000)
+        batch = AudioSignal.batch([a, b])
+        assert batch.batch_size == 2
+        assert batch.signal_length == a.signal_length
+
+
+class TestEffects:
+    def test_mix_at_snr(self):
+        from ezaudio_tpu.audio.effects import mix
+
+        sr = 8000
+        t = np.arange(4 * sr) / sr
+        sig = 0.5 * np.sin(2 * np.pi * 220 * t).astype(np.float32)
+        noise = np.random.default_rng(0).standard_normal(len(t)).astype(np.float32)
+        mixed = mix(sig, noise, sr, snr=20.0)
+        resid = mixed - sig
+        snr_measured = 10 * np.log10(np.square(sig).mean() / np.square(resid).mean())
+        assert 14 < snr_measured < 26  # loudness-based, so approximate
+
+    def test_apply_ir_identity(self):
+        from ezaudio_tpu.audio.effects import apply_ir
+
+        x = np.random.default_rng(0).standard_normal(1000).astype(np.float32)
+        ir = np.zeros(64, np.float32)
+        ir[0] = 1.0
+        np.testing.assert_allclose(apply_ir(x, ir), x, atol=1e-5)
+
+    def test_preemphasis(self):
+        from ezaudio_tpu.audio.effects import preemphasis
+
+        x = np.ones(10, np.float32)
+        y = preemphasis(x, 0.85)
+        assert y[0] == 1.0 and abs(y[1] - 0.15) < 1e-6
+
+    def test_equalizer_attenuates_band(self):
+        from ezaudio_tpu.audio.effects import equalizer
+
+        sr = 8000
+        t = np.arange(sr) / sr
+        x = np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+        gains = np.zeros(6)
+        gains[-2:] = -40  # kill top mel bands (3 kHz at sr 8000 is high)
+        y = equalizer(x, sr, gains)
+        assert np.square(y).mean() < 0.3 * np.square(x).mean()
+
+
+class TestTransforms:
+    def test_compose_deterministic(self, sine):
+        from ezaudio_tpu.data.transforms import Compose, LowPass, VolumeChange
+
+        path, _, _ = sine
+        tfm = Compose([VolumeChange(db=(-6, -6)), LowPass(cutoff=(1000, 1000))])
+        s1 = tfm(AudioSignal.load(path), np.random.default_rng(7))
+        s2 = tfm(AudioSignal.load(path), np.random.default_rng(7))
+        np.testing.assert_array_equal(s1.audio_data, s2.audio_data)
+
+    def test_choose_selects_one(self, sine):
+        from ezaudio_tpu.data.transforms import Choose, Identity, VolumeChange
+
+        path, _, _ = sine
+        tfm = Choose([Identity(), VolumeChange(db=(-20, -20))], weights=[0, 1])
+        sig = AudioSignal.load(path)
+        peak0 = np.abs(sig.audio_data).max()
+        out = tfm(sig, np.random.default_rng(0))
+        assert abs(np.abs(out.audio_data).max() / peak0 - 10 ** (-1)) < 1e-3
+
+    def test_prob_zero_never_applies(self, sine):
+        from ezaudio_tpu.data.transforms import VolumeChange
+
+        path, _, _ = sine
+        tfm = VolumeChange(db=(-20, -20), prob=0.0)
+        sig = AudioSignal.load(path)
+        before = sig.audio_data.copy()
+        out = tfm(sig, np.random.default_rng(0))
+        np.testing.assert_array_equal(out.audio_data, before)
+
+
+class TestTracker:
+    def test_metrics_and_best(self, tmp_path):
+        from ezaudio_tpu.training.tracker import Tracker, timer
+
+        tr = Tracker(log_file=str(tmp_path / "m.jsonl"))
+        tr.update("train", {"loss": 1.0})
+        tr.update("train", {"loss": 0.5})
+        assert tr.mean("train/loss") == 0.75
+        assert tr.is_best("train/loss")
+        tr.update("train", {"loss": 10.0})
+        assert not tr.is_best("train/loss")
+        with timer(tr, "step"):
+            pass
+        rec = tr.log(step=1)
+        assert "train/loss" in rec
+        assert os.path.exists(tmp_path / "m.jsonl")
+
+        state = tr.state_dict()
+        tr2 = Tracker()
+        tr2.load_state_dict(state)
+        assert tr2.best == tr.best
+
+    def test_experiment_rundir(self, tmp_path):
+        from ezaudio_tpu.training.tracker import Experiment
+
+        exp = Experiment(str(tmp_path / "runs"), seed=0)
+        with exp() as d:
+            assert os.getcwd() == os.path.realpath(d) or os.getcwd() == d
+        assert os.path.isdir(exp.exp_dir)
