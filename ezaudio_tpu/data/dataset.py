@@ -36,7 +36,8 @@ class EACaps:
                  aug_config: Optional[dict] = None, norm: bool = True,
                  mono: bool = True, text_path: Optional[str] = None,
                  uncond_path: Optional[str] = None, cfg_prob: float = 0.0,
-                 prepare_mode: bool = False, seed: int = 0, **kwargs):
+                 prepare_mode: bool = False, seed: int = 0,
+                 use_native: bool = False, native_threads: int = 8, **kwargs):
         self.data_dir = data_dir
         meta = pd.read_csv(meta_dir)
         meta = meta[meta["split"] == subset]
@@ -59,6 +60,16 @@ class EACaps:
         if text_path is not None:
             assert uncond_path is not None, "offline mode needs uncond_path"
             self.uncond = dict(np.load(uncond_path))
+        # native C++ batch ingest (decode+crop+pad+normalize in a thread
+        # pool) — usable when there is no augmentation and mono+norm match
+        # its fixed policy
+        self.use_native = False
+        if use_native and self.augmenter is None and mono and norm:
+            from ezaudio_tpu.data import native_loader
+
+            if native_loader.available():
+                self.use_native = True
+                self.native_threads = native_threads
 
     def __len__(self):
         return len(self.meta)
@@ -116,6 +127,23 @@ class EACaps:
         end = n_full * batch_size if drop_remainder else len(order)
         for i in range(0, end, batch_size):
             idx = order[i : i + batch_size]
+            if self.use_native and not self.prepare_mode and not self.text_path:
+                from ezaudio_tpu.data import native_loader
+
+                paths = [os.path.join(self.data_dir,
+                                      str(self.meta.iloc[j]["audio_path"]))
+                         for j in idx]
+                audio, status = native_loader.load_batch(
+                    paths, int(self.seg_len * self.sr), self.sr,
+                    normalize=self.norm,
+                    seed=int(self.rng.integers(1, 2**63 - 1)),
+                    n_threads=self.native_threads)
+                bad = np.nonzero(status)[0]
+                for b in bad:  # fall back per-item on native errors
+                    audio[b] = self.load_audio(paths[b])
+                yield {"audio": audio,
+                       "text": [str(self.meta.iloc[j]["caption"]) for j in idx]}
+                continue
             items = [self[j] for j in idx]
             if self.prepare_mode:
                 yield {"text": [it[0] for it in items],
