@@ -1,0 +1,85 @@
+"""Tests for STOI, HTML reports, preference tests, embedding preparation."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+class TestSTOI:
+    def test_identical_near_one(self):
+        from ezaudio_tpu.audio.quality import stoi
+
+        sr = 10000
+        rng = np.random.default_rng(0)
+        # speech-ish: modulated noise
+        t = np.arange(3 * sr) / sr
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t)
+        x = (env * rng.standard_normal(len(t))).astype(np.float32)
+        s = stoi(x, x, sr)
+        assert s > 0.95
+
+    def test_noise_degrades(self):
+        from ezaudio_tpu.audio.quality import stoi
+
+        sr = 10000
+        rng = np.random.default_rng(0)
+        t = np.arange(3 * sr) / sr
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t)
+        x = (env * rng.standard_normal(len(t))).astype(np.float32)
+        noisy = x + 1.5 * rng.standard_normal(len(t)).astype(np.float32)
+        assert stoi(noisy, x, sr) < stoi(x, x, sr) - 0.2
+
+    def test_pesq_visqol_gated(self):
+        from ezaudio_tpu.audio.quality import pesq, visqol
+
+        with pytest.raises(ImportError):
+            pesq()
+        with pytest.raises(ImportError):
+            visqol()
+
+
+class TestReport:
+    def test_audio_table_html(self, tmp_path, rng):
+        from ezaudio_tpu.audio.report import write_report
+
+        sr = 8000
+        wav = (0.3 * rng.standard_normal(sr)).astype(np.float32)
+        path = write_report(str(tmp_path / "r.html"),
+                            {"clip0": {"ref": wav, "ours": wav * 0.5}}, sr)
+        text = open(path).read()
+        assert "data:audio/wav;base64" in text
+        assert "ours" in text and "ref" in text
+
+    def test_preference_test_flow(self, tmp_path):
+        from ezaudio_tpu.audio.report import PreferenceTest
+
+        pt = PreferenceTest(["ref", "ours"], ["s0", "s1", "s2"], seed=0,
+                            results_csv=str(tmp_path / "res.csv"))
+        assert len(pt.trials) == 3
+        pt.record("u1", 0, "A")
+        pt.record("u1", 1, "B")
+        tally = pt.tally()
+        assert sum(tally.values()) == 2
+
+
+class TestPrepareEmbeddings:
+    def test_prepare_writes_npz(self, tmp_path):
+        import pandas as pd
+
+        from ezaudio_tpu.training.prepare_embeddings import prepare
+        from tests.tiny_config import make_tiny_ezaudio
+
+        df = pd.DataFrame([
+            dict(caption="a dog", split="train", absolute_index=0),
+            dict(caption="rain", split="train", absolute_index=1),
+            dict(caption="skip", split="val", absolute_index=2),
+        ])
+        meta = str(tmp_path / "m.csv")
+        df.to_csv(meta, index=False)
+        ez = make_tiny_ezaudio()
+        n = prepare(ez, meta, str(tmp_path / "emb"), batch_size=2)
+        assert n == 2
+        d = dict(np.load(tmp_path / "emb" / "0.npz"))
+        assert d["embedding"].shape == (12, 32) and d["mask"].shape == (12,)
+        assert os.path.exists(tmp_path / "emb" / "uncond.npz")
