@@ -253,7 +253,13 @@ class EzAudio:
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
             random_seed)
         pred = scale_shift_re(latents, self.scale, self.shift)
-        wav = np.asarray(self.autoencoder.decode(pred))[..., 0]  # (B, T)
+        # The x480 decoder inflates activations ~1000x vs the latent; decode
+        # in sub-batches so large prompt batches never exhaust HBM.
+        B = pred.shape[0]
+        chunk = min(B, 4)
+        wavs = [np.asarray(self.autoencoder.decode(pred[i : i + chunk]))[..., 0]
+                for i in range(0, B, chunk)]
+        wav = np.concatenate(wavs, axis=0)  # (B, T)
         return self.sr, (wav if batched else wav[0])
 
     # ------------------------------------------------------------------
