@@ -34,10 +34,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # (Lq, D)
-    k = k_ref[0]  # (Lk, D)
-    v = v_ref[0]  # (Lk, D)
-    bias = bias_ref[:]  # (1, Lk) additive f32 (0 or -inf-ish)
+    q = q_ref[0, 0]  # (Lq, D)
+    k = k_ref[0, 0]  # (Lk, D)
+    v = v_ref[0, 0]  # (Lk, D)
+    bias = bias_ref[0]  # (1, Lk) additive f32 (0 or -inf-ish)
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -53,7 +53,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -88,24 +88,20 @@ def fused_attention(
         bias = jnp.where(key_mask.astype(bool), 0.0, neg).astype(jnp.float32)
         bias = jnp.pad(bias, ((0, 0), (0, Lk_p - Lk)), constant_values=neg)
 
-    qf = qp.reshape(B * H, Lq_p, D_p)
-    kf = kp.reshape(B * H, Lk_p, D_p)
-    vf = vp.reshape(B * H, Lk_p, D_p)
-
-    grid = (B * H,)
+    # grid (B, H): batch index reaches the bias row without any index
+    # arithmetic (division in index maps is unsupported by Mosaic).
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=float(scale)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Lq_p, D_p), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq_p, D_p), q.dtype),
         grid_spec=pl.GridSpec(
-            grid=grid,
+            grid=(B, H),
             in_specs=[
-                pl.BlockSpec((1, Lq_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lk_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Lk_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                # per-batch bias row: program i belongs to batch i // H
-                pl.BlockSpec((1, Lk_p), lambda i: (i // H, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Lq_p, D_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Lk_p, D_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Lk_p, D_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Lk_p), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, Lq_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, 1, Lq_p, D_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * Lq_p * Lk_p * D_p,
@@ -113,6 +109,6 @@ def fused_attention(
             transcendentals=Lq_p * Lk_p,
         ),
         interpret=interpret,
-    )(qf, kf, vf, bias)
+    )(qp, kp, vp, bias[:, None, :])
 
-    return out.reshape(B, H, Lq_p, D_p)[:, :, :Lq, :D]
+    return out[:, :, :Lq, :D]
