@@ -28,6 +28,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up: call once per host before make_mesh.  Thin
+    wrapper over jax.distributed.initialize (the reference's
+    init_process_group("nccl") analog, audiotools/ml/accelerator.py:41-48 —
+    except collectives ride ICI/DCN via XLA, not a hand-managed backend)."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     dp: Optional[int] = None,
     fsdp: int = 1,

@@ -89,9 +89,23 @@ def main(argv=None):
     os.makedirs(log_dir, exist_ok=True)
     os.makedirs(save_dir, exist_ok=True)
 
+    # fault tolerance: auto-resume from the latest checkpoint if one exists
+    # (preemption-safe restart; orbax state includes params+optimizer+step)
+    try:
+        import orbax.checkpoint as ocp
+
+        with ocp.CheckpointManager(os.path.abspath(save_dir)) as _m:
+            latest = _m.latest_step()
+        if latest is not None and args.ckpt is None:
+            print(f"resuming from checkpoint step {latest}")
+            trainer.restore_checkpoint(os.path.abspath(save_dir), latest)
+    except Exception:
+        pass
+
     rng = jax.random.PRNGKey(args.random_seed)
     losses, t0 = [], time.time()
-    global_step = 0
+    global_step = int(trainer.state.step)
+    it.step = global_step % max(1, len(train_set) // batch_size)
     encode_key = jax.random.PRNGKey(args.random_seed + 1)
 
     for batch in it:

@@ -19,12 +19,15 @@ import numpy as np
 
 
 def timeit(fn, *args, n=5, warmup=2):
+    # materialize to host: through the axon tunnel, block_until_ready alone
+    # under-reports (device queue acks early); np.asarray forces the real
+    # round trip like the end-to-end bench does
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -62,15 +65,16 @@ def main():
         sched = DDIMSchedule.from_config(cfg.diff)
         noise = jax.random.normal(key, (B, L, C), jnp.bfloat16)
 
-        def model_fn(lat, tt):
-            out, _ = dit.apply(params, lat, tt, ctx2)
-            return out
-
         for eta in (1.0, 0.0):
-            run = jax.jit(lambda n, k: sample_latents(
-                model_fn, sched, n, k, 100, guidance_scale=5.0,
-                guidance_rescale=0.75, eta=eta))
-            dt = timeit(run, noise, key, n=3, warmup=1)
+            def run(p, n, k, eta=eta):
+                def model_fn(lat, tt):
+                    out, _ = dit.apply(p, lat, tt, ctx2)
+                    return out
+                return sample_latents(model_fn, sched, n, k, 100,
+                                      guidance_scale=5.0,
+                                      guidance_rescale=0.75, eta=eta)
+            run = jax.jit(run)
+            dt = timeit(run, params, noise, key, n=3, warmup=1)
             print(f"[{impl}] full 100-step scan eta={eta}: {dt:.2f} s")
 
         blocks_mod.Attention.attention_impl = orig
