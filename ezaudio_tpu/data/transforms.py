@@ -243,3 +243,139 @@ class Repeat(BaseTransform):
         for s in states:
             signal = self.inner.transform(signal, **s)
         return signal
+
+
+# ---------------------------------------------------------------------------
+# Spectral / phase transforms (audiotools transforms.py: FrequencyMask,
+# TimeMask, CorruptPhase, ShiftPhase, InvertPhase, Smoothing, Silence)
+# ---------------------------------------------------------------------------
+
+def _stft_np(x, n_fft=2048, hop=512):
+    import jax.numpy as jnp
+
+    from ezaudio_tpu.audio.stft import istft, stft
+
+    return stft, istft, jnp
+
+
+class _SpectralTransform(BaseTransform):
+    n_fft: int = 2048
+    hop: int = 512
+
+    def _apply_spec(self, signal: AudioSignal, fn) -> AudioSignal:
+        import jax.numpy as jnp
+
+        from ezaudio_tpu.audio.stft import istft, stft
+
+        B, C, T = signal.audio_data.shape
+        flat = signal.audio_data.reshape(B * C, T)
+        spec = stft(jnp.asarray(flat), self.n_fft, self.hop)
+        spec = fn(spec, jnp)
+        rec = np.asarray(istft(spec, self.n_fft, self.hop, length=T))
+        signal.audio_data = rec.reshape(B, C, T).astype(np.float32)
+        return signal
+
+
+class FrequencyMask(_SpectralTransform):
+    def __init__(self, f_center: Tuple[float, float] = (0.0, 1.0),
+                 f_width: Tuple[float, float] = (0.05, 0.15), **kw):
+        super().__init__(**kw)
+        self.f_center, self.f_width = f_center, f_width
+
+    def _instantiate(self, rng):
+        return {"center": _uniform(rng, *self.f_center),
+                "width": _uniform(rng, *self.f_width)}
+
+    def _transform(self, signal, center, width):
+        def fn(spec, jnp):
+            F = spec.shape[1]
+            lo = int(max(0, (center - width / 2) * F))
+            hi = int(min(F, (center + width / 2) * F))
+            return spec.at[:, lo:hi, :].set(0)
+
+        return self._apply_spec(signal, fn)
+
+
+class TimeMask(_SpectralTransform):
+    def __init__(self, t_center: Tuple[float, float] = (0.0, 1.0),
+                 t_width: Tuple[float, float] = (0.05, 0.15), **kw):
+        super().__init__(**kw)
+        self.t_center, self.t_width = t_center, t_width
+
+    def _instantiate(self, rng):
+        return {"center": _uniform(rng, *self.t_center),
+                "width": _uniform(rng, *self.t_width)}
+
+    def _transform(self, signal, center, width):
+        def fn(spec, jnp):
+            Tf = spec.shape[2]
+            lo = int(max(0, (center - width / 2) * Tf))
+            hi = int(min(Tf, (center + width / 2) * Tf))
+            return spec.at[:, :, lo:hi].set(0)
+
+        return self._apply_spec(signal, fn)
+
+
+class InvertPhase(_SpectralTransform):
+    def _transform(self, signal):
+        signal.audio_data = -signal.audio_data
+        return signal
+
+
+class ShiftPhase(_SpectralTransform):
+    def __init__(self, shift: Tuple[float, float] = (-np.pi, np.pi), **kw):
+        super().__init__(**kw)
+        self.shift = shift
+
+    def _instantiate(self, rng):
+        return {"shift": _uniform(rng, *self.shift)}
+
+    def _transform(self, signal, shift):
+        def fn(spec, jnp):
+            return spec * jnp.exp(1j * shift)
+
+        return self._apply_spec(signal, fn)
+
+
+class CorruptPhase(_SpectralTransform):
+    def __init__(self, scale: Tuple[float, float] = (0.1, 1.0), seed: int = 0, **kw):
+        super().__init__(**kw)
+        self.scale = scale
+
+    def _instantiate(self, rng):
+        return {"scale": _uniform(rng, *self.scale),
+                "seed": int(rng.integers(2**31 - 1))}
+
+    def _transform(self, signal, scale, seed):
+        def fn(spec, jnp):
+            noise = np.random.default_rng(seed).uniform(
+                -np.pi * scale, np.pi * scale, spec.shape).astype(np.float32)
+            return spec * jnp.exp(1j * jnp.asarray(noise))
+
+        return self._apply_spec(signal, fn)
+
+
+class Smoothing(BaseTransform):
+    """Convolve with a short window (audiotools Smoothing)."""
+
+    def __init__(self, window_len: Tuple[int, int] = (8, 64), **kw):
+        super().__init__(**kw)
+        self.window_len = window_len
+
+    def _instantiate(self, rng):
+        return {"n": int(rng.integers(*self.window_len))}
+
+    def _transform(self, signal, n):
+        win = np.hanning(n).astype(np.float32)
+        win /= win.sum()
+        from scipy.signal import fftconvolve
+
+        signal.audio_data = fftconvolve(
+            signal.audio_data, win[None, None, :], mode="same").astype(np.float32)
+        return signal
+
+
+class Silence(BaseTransform):
+    def _transform(self, signal):
+        signal.audio_data = np.zeros_like(signal.audio_data)
+        return signal

@@ -172,3 +172,60 @@ class TestTracker:
         with exp() as d:
             assert os.getcwd() == os.path.realpath(d) or os.getcwd() == d
         assert os.path.isdir(exp.exp_dir)
+
+
+class TestSpectralTransforms:
+    def _sig(self, rng):
+        sr = 8000
+        x = (0.3 * rng.standard_normal(2 * sr)).astype(np.float32)
+        return AudioSignal(x, sr)
+
+    def test_frequency_mask_removes_band(self):
+        from ezaudio_tpu.data.transforms import FrequencyMask
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        t = np.arange(2 * sr) / sr
+        x = np.sin(2 * np.pi * 2000 * t).astype(np.float32)
+        tfm = FrequencyMask(f_center=(0.5, 0.5), f_width=(0.4, 0.4))
+        out = tfm(AudioSignal(x, sr), rng)  # 2 kHz = bin 0.5*nyquist
+        assert np.square(out.audio_data).mean() < 0.1 * np.square(x).mean()
+
+    def test_time_mask_zeroes_segment(self):
+        from ezaudio_tpu.data.transforms import TimeMask
+
+        rng = np.random.default_rng(0)
+        sig = self._sig(rng)
+        e0 = np.square(sig.audio_data).mean()
+        out = TimeMask(t_center=(0.5, 0.5), t_width=(0.5, 0.5))(sig, rng)
+        assert np.square(out.audio_data).mean() < 0.8 * e0
+
+    def test_shift_phase_alters_waveform_keeps_energy(self):
+        from ezaudio_tpu.data.transforms import ShiftPhase
+
+        rng = np.random.default_rng(0)
+        sig = self._sig(rng)
+        ref = sig.audio_data.copy()
+        out = ShiftPhase(shift=(1.5, 1.5))(sig, rng)
+        assert np.abs(out.audio_data - ref).max() > 1e-3
+        # energy within a factor ~2 (overlap-add resynthesis of an
+        # inconsistent STFT is not magnitude-exact)
+        r = np.square(out.audio_data).mean() / np.square(ref).mean()
+        assert 0.3 < r < 2.0
+
+    def test_silence(self):
+        from ezaudio_tpu.data.transforms import Silence
+
+        rng = np.random.default_rng(0)
+        out = Silence()(self._sig(rng), rng)
+        assert (out.audio_data == 0).all()
+
+    def test_smoothing_reduces_high_freq(self):
+        from ezaudio_tpu.data.transforms import Smoothing
+
+        rng = np.random.default_rng(0)
+        sig = self._sig(rng)
+        out = Smoothing(window_len=(32, 33))(sig.clone(), rng)
+        # smoothed signal has less energy in noise
+        assert np.square(np.diff(out.audio_data)).mean() < \
+            np.square(np.diff(sig.audio_data)).mean()
