@@ -101,7 +101,11 @@ class Attention(nn.Module):
 
         impl = self.attention_impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
+            # Pallas and XLA attention measure equal at the EzAudio geometry
+            # (scripts/perf_probe.py); use the fused kernel on TPU when the
+            # whole (Lq, Lk, D) problem fits the single-block design.
+            fits = head_dim <= 128 and L <= 4096 and Lk <= 4096
+            impl = "pallas" if (jax.default_backend() == "tpu" and fits) else "einsum"
         if impl == "pallas":
             from ezaudio_tpu.ops.pallas.attention import fused_attention
 
