@@ -167,3 +167,7 @@ class EzAudioControlNet:
         pred = scale_shift_re(latents, base.scale, base.shift)
         wav = np.asarray(base.autoencoder.decode(pred))[0, :, 0]
         return sr, wav[:original_length]
+
+
+# Reference-spelled alias (api/controlnet.py class EzAudio_ControlNet)
+EzAudio_ControlNet = EzAudioControlNet

@@ -158,6 +158,11 @@ class EzAudio:
             lambda p, ids, mask: self.t5.apply({"params": p}, ids, mask))
 
     # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=8)
+    def _uncond_embedding(self, batch: int):
+        """Cached empty-prompt embedding (CFG uncond branch)."""
+        return self.embed_text([""] * batch)
+
     def embed_text(self, texts: Sequence[str]):
         ids, mask = self.tokenizer(list(texts), max_length=self.max_length)
         emb = self._encode_text(self.t5_params, jnp.asarray(ids), jnp.asarray(mask))
@@ -207,7 +212,7 @@ class EzAudio:
 
         cond, cond_mask = self.embed_text(texts)
         if guidance_scale:
-            uncond, uncond_mask = self.embed_text([""] * B)
+            uncond, uncond_mask = self._uncond_embedding(B)
             ctx = jnp.concatenate([cond, uncond], axis=0)
             cmask = jnp.concatenate([cond_mask, uncond_mask], axis=0)
         else:
