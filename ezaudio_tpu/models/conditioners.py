@@ -234,4 +234,11 @@ class Conditioner:
 
     def __call__(self, waveform, latent_shape=None):
         cond = self.fn(jnp.asarray(waveform))
+        if latent_shape is not None and len(latent_shape) == 4:
+            # 2D spectrogram latents (B, T, F, C): tile the condition over
+            # the frequency axis (condition_wrapper.py:31-36 equivalent in
+            # channel-last layout); the time axis must divide evenly.
+            T_lat, F_lat = latent_shape[1], latent_shape[2]
+            assert cond.shape[1] % T_lat == 0, (cond.shape, latent_shape)
+            cond = jnp.repeat(cond[:, :, None, :], F_lat, axis=2)
         return cond

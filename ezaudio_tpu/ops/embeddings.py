@@ -128,6 +128,47 @@ def unpatchify_1d(x, channels: int):
     return x.reshape(B, L * p, channels)
 
 
+def patchify_2d(x, patch_size: int):
+    """(B, H, W, C) -> (B, H/p * W/p, p*p*C), channel-last analog of
+    modules.py:64-68 (patch-major packing matches a plain reshape here)."""
+    B, H, W, C = x.shape
+    p = patch_size
+    x = x.reshape(B, H // p, p, W // p, p, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, h, w, p, p, C)
+    return x.reshape(B, (H // p) * (W // p), p * p * C)
+
+
+def unpatchify_2d(x, channels: int, img_size):
+    """(B, h*w, p*p*C) -> (B, H, W, C)."""
+    B, L, PPC = x.shape
+    p = int((PPC // channels) ** 0.5)
+    H, W = img_size
+    h, w = H // p, W // p
+    x = x.reshape(B, h, w, p, p, channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, channels)
+
+
+class PatchEmbed2D(nn.Module):
+    """2D patch embedding (modules.py PatchEmbed input_type='2d')."""
+
+    patch_size: int
+    in_chans: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = patchify_2d(x, self.patch_size)
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_uniform(),
+            (self.patch_size**2 * self.in_chans, self.embed_dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
+        return (jnp.dot(h.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=self.dtype)
+                + bias.astype(self.dtype))
+
+
 class SinusoidalPE(nn.Module):
     """Interleaved sin/cos absolute PE added to the input (modules.py:138-158)."""
 

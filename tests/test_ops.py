@@ -213,3 +213,39 @@ class TestTimestepEmbedding:
         np.testing.assert_allclose(got, want, atol=5e-3)
         # small arguments (t=0,1) are exact
         np.testing.assert_allclose(got[:2], want[:2], atol=1e-5)
+
+
+class TestPatchify2D:
+    def test_roundtrip(self, rng):
+        import jax.numpy as jnp
+
+        from ezaudio_tpu.ops.embeddings import patchify_2d, unpatchify_2d
+
+        x = rng.standard_normal((2, 8, 12, 3)).astype(np.float32)
+        p = patchify_2d(jnp.asarray(x), 4)
+        assert p.shape == (2, 2 * 3, 4 * 4 * 3)
+        rec = unpatchify_2d(p, 3, (8, 12))
+        np.testing.assert_array_equal(np.asarray(rec), x)
+
+    def test_matches_torch_conv_patch_embed(self, rng):
+        """PatchEmbed2D == torch Conv2d(stride=patch) + flatten, as in the
+        reference 2d path (modules.py:88-111)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ezaudio_tpu.ops.embeddings import PatchEmbed2D
+
+        B, H, W, C, p, D = 2, 8, 8, 3, 4, 16
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        conv = torch.nn.Conv2d(C, D, kernel_size=p, stride=p)
+        want = conv(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        want = want.flatten(2).transpose(1, 2).detach().numpy()  # (B, L, D)
+
+        m = PatchEmbed2D(patch_size=p, in_chans=C, embed_dim=D)
+        # torch conv weight (D, C, p, p) -> our (p*p*C, D) with
+        # patch-major (row, col, channel) packing
+        w = conv.weight.detach().numpy().transpose(2, 3, 1, 0).reshape(p * p * C, D)
+        params = {"kernel": jnp.asarray(w),
+                  "bias": jnp.asarray(conv.bias.detach().numpy())}
+        got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
