@@ -101,10 +101,16 @@ class Attention(nn.Module):
 
         impl = self.attention_impl
         if impl == "auto":
+            import os
+
+            impl = os.environ.get("EZAUDIO_ATTN_IMPL", "auto")
+        if impl == "auto":
             # Pallas and XLA attention measure equal at the EzAudio geometry
             # (scripts/perf_probe.py); use the fused kernel on TPU when the
-            # whole (Lq, Lk, D) problem fits the single-block design.
-            fits = head_dim <= 128 and L <= 4096 and Lk <= 4096
+            # whole (Lq, Lk, D) problem fits the single-block design and the
+            # grid stays small (grid programs run sequentially — huge B*H
+            # serializes; XLA's batched matmul wins there).
+            fits = head_dim <= 128 and L <= 4096 and Lk <= 4096 and B * H <= 256
             impl = "pallas" if (jax.default_backend() == "tpu" and fits) else "einsum"
         if impl == "pallas":
             from ezaudio_tpu.ops.pallas.attention import fused_attention

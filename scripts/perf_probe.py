@@ -11,6 +11,11 @@ Run:  python scripts/perf_probe.py [batch]
 """
 
 import sys
+import os
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -4,6 +4,11 @@ Also times a fused-QKV matmul against three separate projections at the
 XL shape, to size up that refactor before doing it.
 """
 
+import os
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax
