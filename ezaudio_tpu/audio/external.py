@@ -1,0 +1,64 @@
+"""Gated seams for external-binary/weight audio utilities.
+
+The reference's audiotools carries mixins that shell out to external
+resources: ffmpeg (ffmpeg.py:87-204: loudness/resample/load of non-wav
+formats), Whisper transcription (whisper.py), and IPython/gradio playback.
+None of those binaries/weights exist in this environment; these functions
+keep the seams explicit with actionable errors, and provide pure-Python
+fallbacks where one exists.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def ffmpeg_load(path: str, sr: Optional[int] = None) -> tuple:
+    """Decode any ffmpeg-supported format -> (float32 mono, sr).  Falls back
+    to the native wav path when ffmpeg is absent and the file is a wav."""
+    if ffmpeg_available():
+        cmd = ["ffmpeg", "-i", path, "-f", "f32le", "-ac", "1"]
+        if sr:
+            cmd += ["-ar", str(sr)]
+        cmd += ["pipe:1"]
+        out = subprocess.run(cmd, capture_output=True, check=True).stdout
+        wav = np.frombuffer(out, np.float32)
+        return wav, sr or _probe_sr(path)
+    if path.lower().endswith(".wav"):
+        from ezaudio_tpu.data.audio_io import load_wav
+
+        return load_wav(path, sr=sr)
+    raise ImportError(
+        f"Decoding {path} requires ffmpeg, which is not installed in this "
+        "environment; only .wav is supported natively.")
+
+
+def _probe_sr(path: str) -> int:
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "a:0",
+         "-show_entries", "stream=sample_rate", "-of", "csv=p=0", path],
+        capture_output=True, text=True, check=True).stdout.strip()
+    return int(out)
+
+
+def transcribe(wav: np.ndarray, sr: int, model: str = "openai/whisper-base"):
+    """Whisper transcription seam (audiotools whisper mixin equivalent).
+    Requires local Whisper weights; raises with instructions otherwise."""
+    try:
+        import torch  # noqa: F401
+        from transformers import WhisperForConditionalGeneration  # noqa: F401
+    except ImportError as e:
+        raise ImportError("transformers/torch required for transcription") from e
+    raise ImportError(
+        "Whisper weights are not available in this zero-egress environment. "
+        "With a local checkout, load WhisperProcessor/"
+        "WhisperForConditionalGeneration.from_pretrained(<local path>) and "
+        "pass 16 kHz audio.")
