@@ -90,10 +90,14 @@ class Attention(nn.Module):
                     q = apply_rope_skip_prefix(q, cos, sin, extras)
                     k = apply_rope_skip_prefix(k, cos, sin, extras)
                 else:
-                    qp = apply_rope_skip_prefix(q[:, :, :extras], cos, sin, 0)
-                    kp = apply_rope_skip_prefix(k[:, :, :extras], cos, sin, 0)
-                    qx = apply_rope_skip_prefix(q[:, :, extras:], cos, sin, 0)
-                    kx = apply_rope_skip_prefix(k[:, :, extras:], cos, sin, 0)
+                    # dual: separate rotaries for prefix and content, each
+                    # position-0-based (attention.py:96-99)
+                    cp, sp = cos[:extras], sin[:extras]
+                    cx, sx = cos[: L - extras], sin[: L - extras]
+                    qp = apply_rope_skip_prefix(q[:, :, :extras], cp, sp, 0)
+                    kp = apply_rope_skip_prefix(k[:, :, :extras], cp, sp, 0)
+                    qx = apply_rope_skip_prefix(q[:, :, extras:], cx, sx, 0)
+                    kx = apply_rope_skip_prefix(k[:, :, extras:], cx, sx, 0)
                     q = jnp.concatenate([qp, qx], axis=2)
                     k = jnp.concatenate([kp, kx], axis=2)
             else:

@@ -12,6 +12,7 @@ Both normalize over the trailing feature axis only.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -57,6 +58,3 @@ def make_norm(kind: str, dim: int, dtype=jnp.float32, name=None) -> nn.Module:
     if kind in ("rmsnorm", "rms_norm"):
         return RMSNorm(dim=dim, dtype=dtype, name=name)
     raise NotImplementedError(f"unknown norm: {kind}")
-
-
-import jax  # noqa: E402

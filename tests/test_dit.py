@@ -166,3 +166,49 @@ class TestSpanMask:
         )
         # min_masks=1 guarantees at least one span even at p=0
         assert (mask.sum(axis=1) >= 10).all()
+
+
+class TestAlternativeUDiTModes:
+    """Exercise the reference's non-default architecture switches
+    (udit.py time_fusion='token', context_fusion='concat', abs/sinu PEs,
+    rope x_only/dual) — present in the reference even though the published
+    configs use ada_sola_bias/cross/none/shared."""
+
+    def _run(self, **kw):
+        from ezaudio_tpu.models.udit import UDiT
+
+        base = dict(img_size=16, patch_size=1, in_chans=4, out_chans=4,
+                    embed_dim=32, depth=2, num_heads=4, context_dim=8,
+                    context_fusion="concat", context_max_length=5,
+                    context_pe_method="sinu", pe_method="abs",
+                    time_fusion="token", qk_norm=None, act_layer="gelu",
+                    rope_mode="none", skip=True, use_conv=True,
+                    use_checkpoint=False)
+        base.update(kw)
+        m = UDiT(**base)
+        key = jax.random.PRNGKey(0)
+        p = m.init(key, jnp.zeros((2, 16, 4)), jnp.zeros((2,), jnp.int32),
+                   jnp.zeros((2, 5, 8)))
+        out = m.apply(p, jnp.ones((2, 16, 4)), jnp.asarray([3, 9]),
+                      jnp.zeros((2, 5, 8)))
+        assert out.shape == (2, 16, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_token_concat_abs_sinu(self):
+        self._run()
+
+    def test_rope_x_only(self):
+        self._run(context_pe_method="none", pe_method="none",
+                  rope_mode="x_only", act_layer="geglu", skip=False,
+                  use_conv=False)
+
+    def test_rope_dual(self):
+        self._run(context_pe_method="none", pe_method="none",
+                  rope_mode="dual")
+
+    def test_ada_single(self):
+        self._run(time_fusion="ada_single", context_fusion="cross",
+                  qk_norm="rmsnorm", norm_layer="rmsnorm")
+
+    def test_snake_ff(self):
+        self._run(act_layer="gesnake")
