@@ -170,31 +170,36 @@ class EzAudio:
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=32)
-    def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta, use_gt: bool):
+    def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta,
+                 use_gt: bool, guidance_interval=None):
         """Compile (and cache) the full denoising program for a signature."""
         schedule = self.noise_scheduler
         dit = self.dit
 
         @jax.jit
         def run(dit_params, noise, ctx, cmask, gt, gt_mask, key):
-            # ctx/cmask are already the CFG-ordered batch: [cond; uncond]
-            # (or just cond when guidance is off).
+            # ctx/cmask are the CFG-ordered batch [cond; uncond] (or just
+            # cond when guidance is off).  With a guidance interval, non-CFG
+            # segments call with the single batch — slicing ctx[:n] keeps
+            # the cond half (cond-first ordering).
             def model_fn(lat, t):
+                n = lat.shape[0]
                 if use_gt:
-                    n = lat.shape[0] // gt.shape[0]
-                    gt_b = jnp.concatenate([gt] * n, axis=0)
-                    gm_b = jnp.concatenate([gt_mask] * n, axis=0)
+                    r = n // gt.shape[0]
+                    gt_b = jnp.concatenate([gt] * r, axis=0)
+                    gm_b = jnp.concatenate([gt_mask] * r, axis=0)
                 else:
                     gt_b, gm_b = None, None
                 out, _ = dit.apply(
-                    dit_params, lat, t, ctx, context_mask=cmask,
+                    dit_params, lat, t, ctx[:n], context_mask=cmask[:n],
                     gt=gt_b, mae_mask_infer=gm_b)
                 return out
 
             return sample_latents(
                 model_fn, schedule, noise, key, steps,
                 guidance_scale=guidance_scale,
-                guidance_rescale=guidance_rescale, eta=eta)
+                guidance_rescale=guidance_rescale, eta=eta,
+                guidance_interval=guidance_interval)
 
         return run
 
@@ -202,7 +207,7 @@ class EzAudio:
     def _generate_latents(
         self, texts: List[str], frames: int,
         guidance_scale, guidance_rescale, ddim_steps, eta, random_seed,
-        gt=None, gt_mask=None,
+        gt=None, gt_mask=None, guidance_interval=None,
     ):
         B = len(texts)
         if random_seed is None:
@@ -225,7 +230,8 @@ class EzAudio:
             gt = jnp.zeros((B, frames, self.latent_dim), self.dtype)
             gt_mask = jnp.zeros((B, frames, 1), bool)
         run = self._sampler(int(ddim_steps), guidance_scale, guidance_rescale,
-                            float(eta), use_gt)
+                            float(eta), use_gt,
+                            tuple(guidance_interval) if guidance_interval else None)
         latents = run(self.dit_params, noise, ctx, cmask, gt, gt_mask, k_steps)
         return latents
 
@@ -240,11 +246,16 @@ class EzAudio:
         eta: float = 1,
         random_seed: Optional[int] = None,
         randomize_seed: bool = False,
+        guidance_interval: Optional[Tuple[float, float]] = None,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
 
         ``text`` may be a list of prompts for batched generation; the
         waveform is then (B, T).
+
+        ``guidance_interval=(t_lo, t_hi)``: training-free speedup — run the
+        CFG pair only for timesteps inside the band (arXiv 2404.07724);
+        outside it, the conditional model alone runs at half the compute.
         """
         batched = not isinstance(text, str)
         texts = list(text) if batched else [text]
@@ -256,7 +267,7 @@ class EzAudio:
         frames = int(length * self.latent_sr)
         latents = self._generate_latents(
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
-            random_seed)
+            random_seed, guidance_interval=guidance_interval)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # The x480 decoder inflates activations ~1000x vs the latent; decode
         # in sub-batches so large prompt batches never exhaust HBM.

@@ -14,16 +14,18 @@ ControlNet variant ``src/inference_controlnet.py``):
 TPU design: the model function is closed over parameters, the per-step
 tables are gathered by scan index, the per-step eta-noise comes from
 ``jax.random.fold_in`` of one key, and the whole loop compiles to a single
-XLA while-loop.  The CFG pair rides the batch axis, which is the axis the
-data-parallel mesh shards (see ezaudio_tpu.parallel).
+XLA while-loop (or up to three, with a guidance interval).  The CFG pair
+rides the batch axis, which is the axis the data-parallel mesh shards
+(see ezaudio_tpu.parallel).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ezaudio_tpu.diffusion.ddim import DDIMSchedule
 
@@ -49,6 +51,7 @@ def sample_latents(
     guidance_scale: Optional[float] = None,
     guidance_rescale: float = 0.0,
     eta: float = 1.0,
+    guidance_interval: Optional[Tuple[float, float]] = None,
 ) -> jnp.ndarray:
     """Run the DDIM loop.
 
@@ -62,36 +65,62 @@ def sample_latents(
     gt paste happens in the API layer *after* scale_shift_re, matching the
     reference order (inference.py:102-105).
 
+    ``guidance_interval``: optional (t_lo, t_hi) — apply CFG only while the
+    *training* timestep lies in [t_lo, t_hi] (Kynkaanniemi et al.,
+    arXiv 2404.07724: guidance matters mainly at mid noise levels).  Steps
+    outside the band run the conditional model alone at HALF the compute.
+    The split is static (ts is a precomputed table), so the loop compiles
+    as contiguous scans each with a fixed batch shape.
+
     Returns final latents (B, L, C).
     """
-    a_t, a_prev, ts = schedule.step_tables(num_steps)
-    a_t = jnp.asarray(a_t)
-    a_prev = jnp.asarray(a_prev)
-    ts = jnp.asarray(ts)
+    a_t_np, a_prev_np, ts_np = schedule.step_tables(num_steps)
+    a_t = jnp.asarray(a_t_np)
+    a_prev = jnp.asarray(a_prev_np)
+    ts = jnp.asarray(ts_np)
 
-    def body(latents, i):
-        t = ts[i]
-        if guidance_scale is not None:
-            pair = jnp.concatenate([latents, latents], axis=0)
-            out = model_fn(pair, t)
-            cond, uncond = jnp.split(out, 2, axis=0)
-            pred = uncond + guidance_scale * (cond - uncond)
-            if guidance_rescale > 0.0:
-                pred = rescale_noise_cfg(pred, cond, guidance_rescale)
-        else:
-            pred = model_fn(latents, t)
+    def body_for(use_cfg: bool):
+        def body(latents, i):
+            t = ts[i]
+            if use_cfg:
+                pair = jnp.concatenate([latents, latents], axis=0)
+                out = model_fn(pair, t)
+                cond, uncond = jnp.split(out, 2, axis=0)
+                pred = uncond + guidance_scale * (cond - uncond)
+                if guidance_rescale > 0.0:
+                    pred = rescale_noise_cfg(pred, cond, guidance_rescale)
+            else:
+                pred = model_fn(latents, t)
 
-        step_noise = None
-        if eta > 0:
-            step_noise = jax.random.normal(
-                jax.random.fold_in(key, i), latents.shape, latents.dtype
+            step_noise = None
+            if eta > 0:
+                step_noise = jax.random.normal(
+                    jax.random.fold_in(key, i), latents.shape, latents.dtype
+                )
+            new_latents = schedule.ddim_step(
+                pred, latents, a_t[i], a_prev[i], eta=eta, noise=step_noise
             )
-        new_latents = schedule.ddim_step(
-            pred, latents, a_t[i], a_prev[i], eta=eta, noise=step_noise
-        )
-        # keep the scan carry dtype stable under bf16 compute (the f32
-        # schedule tables promote the update to f32)
-        return new_latents.astype(latents.dtype), None
+            # keep the scan carry dtype stable under bf16 compute (the f32
+            # schedule tables promote the update to f32)
+            return new_latents.astype(latents.dtype), None
 
-    latents, _ = jax.lax.scan(body, noise, jnp.arange(num_steps))
+        return body
+
+    if guidance_scale is not None and guidance_interval is not None:
+        t_lo, t_hi = guidance_interval
+        in_band = (ts_np >= t_lo) & (ts_np <= t_hi)
+        latents = noise
+        start = 0
+        while start < num_steps:
+            end = start
+            while end < num_steps and in_band[end] == in_band[start]:
+                end += 1
+            latents, _ = jax.lax.scan(
+                body_for(bool(in_band[start])), latents,
+                jnp.arange(start, end))
+            start = end
+        return latents
+
+    latents, _ = jax.lax.scan(
+        body_for(guidance_scale is not None), noise, jnp.arange(num_steps))
     return latents

@@ -75,3 +75,22 @@ class TestJitCache:
         f1 = ez._sampler(4, 5.0, 0.75, 1.0, False)
         f2 = ez._sampler(4, 5.0, 0.75, 1.0, False)
         assert f1 is f2
+
+
+class TestGuidanceInterval:
+    def test_full_interval_matches_plain_cfg(self, ez):
+        _, w_plain = ez.generate_audio("rain", length=2, ddim_steps=4,
+                                       random_seed=3)
+        _, w_full = ez.generate_audio("rain", length=2, ddim_steps=4,
+                                      random_seed=3,
+                                      guidance_interval=(0, 1000))
+        np.testing.assert_allclose(w_full, w_plain, atol=1e-5)
+
+    def test_band_interval_runs_and_differs(self, ez):
+        _, w_plain = ez.generate_audio("rain", length=2, ddim_steps=8,
+                                       random_seed=3)
+        _, w_band = ez.generate_audio("rain", length=2, ddim_steps=8,
+                                      random_seed=3,
+                                      guidance_interval=(200, 800))
+        assert w_band.shape == w_plain.shape
+        assert np.isfinite(w_band).all()
