@@ -38,6 +38,26 @@ class AutoencoderFacade:
         self.params = params
         self.quantization_first = quantization_first
         self.model_type = model_type
+        if model_type == "encodec":
+            self.downsampling_ratio = model.hop_length
+            # q_first: encode -> RVQ roundtrip (quantized continuous latent),
+            # matching the reference's process_encodec (autoencoder_wrapper
+            # .py:49-66: quantizer.encode then .decode)
+            def _enc_q(p, a):
+                def run(m, a):
+                    z = m.encoder(a)
+                    return m.quantizer.decode(m.quantizer.encode(z))
+                return model.apply({"params": p}, a, method=run)
+
+            self._enc_encodec_q = jax.jit(_enc_q)
+            self._enc_encodec_raw = jax.jit(lambda p, a: model.apply(
+                {"params": p}, a, method=lambda m, a: m.encoder(a)))
+            self._dec_encodec = jax.jit(lambda p, z: model.apply(
+                {"params": p}, z, method=lambda m, z: m.decoder(z)))
+            self._quant_encodec = jax.jit(lambda p, z: model.apply(
+                {"params": p}, z,
+                method=lambda m, z: m.quantizer.decode(m.quantizer.encode(z))))
+            return
         if model_type == "dac":
             self.downsampling_ratio = model.hop_length
             # encode -> (quantized z) if q_first else raw encoder output
@@ -73,6 +93,9 @@ class AutoencoderFacade:
         posterior mean for the VAE (deterministic encode).
         """
         audio = jnp.asarray(audio)
+        if self.model_type == "encodec":
+            return (self._enc_encodec_q if self.quantization_first
+                    else self._enc_encodec_raw)(self.params, audio)
         if self.model_type == "dac":
             return (self._enc_dac_q if self.quantization_first
                     else self._enc_dac_raw)(self.params, audio)
@@ -86,6 +109,10 @@ class AutoencoderFacade:
     def decode(self, embedding):
         """latent (B, L, C) -> audio (B, T, 1)."""
         z = jnp.asarray(embedding)
+        if self.model_type == "encodec":
+            if not self.quantization_first:
+                z = self._quant_encodec(self.params, z)
+            return self._dec_encodec(self.params, z)
         if self.model_type == "dac":
             if not self.quantization_first:
                 z = self._quant_dac(self.params, z)
