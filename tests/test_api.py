@@ -94,3 +94,22 @@ class TestGuidanceInterval:
                                       guidance_interval=(200, 800))
         assert w_band.shape == w_plain.shape
         assert np.isfinite(w_band).all()
+
+
+class TestLengthExtension:
+    """RoPE 'shared' makes the DiT length-extensible (rotary.py caching in
+    the reference; trace-time tables here): generation beyond the training
+    img_size works without architecture changes — a capability the
+    reference only reaches via chained outpainting."""
+
+    def test_longer_than_img_size(self, ez):
+        # tiny img_size is 100 latent frames (2 s); generate 4 s
+        sr, wav = ez.generate_audio("wind", length=4, ddim_steps=2,
+                                    random_seed=0)
+        assert wav.shape == (4 * TINY_SR,)
+        assert np.isfinite(wav).all()
+
+    def test_shorter_clip(self, ez):
+        sr, wav = ez.generate_audio("wind", length=1, ddim_steps=2,
+                                    random_seed=0)
+        assert wav.shape == (1 * TINY_SR,)
