@@ -16,7 +16,7 @@ All functions take (B, T) waveforms, run under jit, and return scalars
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 

@@ -18,9 +18,6 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ezaudio_tpu.data.audio_io import save_wav
-
-
 def _audio_tag(wav: np.ndarray, sr: int) -> str:
     buf = io.BytesIO()
     from scipy.io import wavfile

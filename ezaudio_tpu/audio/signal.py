@@ -17,7 +17,7 @@ evaluation convenience layer.
 from __future__ import annotations
 
 import copy
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

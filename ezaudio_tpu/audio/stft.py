@@ -11,7 +11,6 @@ window=hann, normalized=False, onesided=True).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax.numpy as jnp

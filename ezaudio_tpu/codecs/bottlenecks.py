@@ -17,7 +17,7 @@ identity (or code lookup for discrete variants).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ import dataclasses
 import math
 import os
 from pathlib import Path
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,6 @@ import numpy as np
 from flax import linen as nn
 
 from ezaudio_tpu.audio.stft import stft
-from ezaudio_tpu.data.audio_io import resample as _np_resample
 from ezaudio_tpu.ops.convs import Conv1d, Conv2d
 
 BANDS = [(0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0)]

@@ -22,7 +22,7 @@ cheap: 750 steps per 10 s clip, hidden 512-ish); everything else is conv
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,13 +15,13 @@ Layouts: audio (B, T, 1) float32 in [-1, 1]; latents (B, L, C).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ezaudio_tpu.codecs.oobleck import AudioVAE, vae_from_config, vae_sample
+from ezaudio_tpu.codecs.oobleck import vae_sample
 
 
 class AutoencoderFacade:

@@ -14,7 +14,7 @@ architectural alternatives (the published models use MaskDiT):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

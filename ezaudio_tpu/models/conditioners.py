@@ -21,7 +21,6 @@ channel-last world the (B, T, C) output is already the model layout.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ezaudio_tpu.models.blocks import DiTBlock, FinalBlock
-from ezaudio_tpu.ops.convs import zero_linear, xavier_linear
+from ezaudio_tpu.ops.convs import zero_linear
 from ezaudio_tpu.ops.embeddings import MLPEmbedder, PatchEmbed1D, PEWrapper, TimestepEmbedder
 
 

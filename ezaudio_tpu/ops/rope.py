@@ -12,8 +12,6 @@ needed because XLA constant-folds them into the compiled program.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax.numpy as jnp
 
 

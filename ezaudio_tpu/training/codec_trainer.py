@@ -17,7 +17,7 @@ config), alternating jitted steps; both steps shard the batch over dp.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ condition pipeline (condition span-masking active inside ControlNetEmbed).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

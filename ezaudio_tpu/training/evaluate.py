@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Optional
-
 import jax
 import numpy as np
 import pandas as pd

@@ -10,7 +10,6 @@ a JSON metadata sidecar fill the role).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Callable, Dict, Optional, Tuple
