@@ -1,0 +1,132 @@
+"""Sampler-level tests with a cheap analytic model function."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ezaudio_tpu.diffusion.ddim import DDIMSchedule
+from ezaudio_tpu.diffusion.sampling import rescale_noise_cfg, sample_latents
+from tests.tiny_config import TINY_CONFIG
+
+SCHED = DDIMSchedule.from_config(TINY_CONFIG["diff"])
+
+
+def linear_model(cfg_batch: bool):
+    """A toy v-predictor: v = 0.9 x (cond) / 0.5 x (uncond half)."""
+
+    def fn(lat, t):
+        if cfg_batch:
+            B = lat.shape[0] // 2
+            cond = 0.9 * lat[:B]
+            uncond = 0.5 * lat[B:]
+            return jnp.concatenate([cond, uncond], axis=0)
+        return 0.9 * lat
+
+    return fn
+
+
+class TestSampler:
+    def test_eta0_deterministic(self):
+        key = jax.random.PRNGKey(0)
+        noise = jax.random.normal(key, (2, 8, 4))
+        a = sample_latents(linear_model(False), SCHED, noise, key, 10, eta=0.0)
+        b = sample_latents(linear_model(False), SCHED, noise,
+                           jax.random.PRNGKey(99), 10, eta=0.0)
+        # eta=0: the key must not matter
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_eta1_key_dependent(self):
+        key = jax.random.PRNGKey(0)
+        noise = jax.random.normal(key, (2, 8, 4))
+        a = sample_latents(linear_model(False), SCHED, noise, key, 10, eta=1.0)
+        b = sample_latents(linear_model(False), SCHED, noise,
+                           jax.random.PRNGKey(99), 10, eta=1.0)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+    def test_cfg_pair_math(self):
+        """guidance_scale=1 must equal the cond-only branch on a model whose
+        cond/uncond halves agree."""
+        key = jax.random.PRNGKey(0)
+        noise = jax.random.normal(key, (2, 8, 4))
+
+        def same_fn(lat, t):
+            return 0.9 * lat
+
+        a = sample_latents(same_fn, SCHED, noise, key, 6, guidance_scale=1.0,
+                           eta=0.0)
+        b = sample_latents(same_fn, SCHED, noise, key, 6, guidance_scale=None,
+                           eta=0.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_guidance_interval_full_band_equals_plain(self):
+        key = jax.random.PRNGKey(0)
+        noise = jax.random.normal(key, (2, 8, 4))
+        fn = linear_model(True)
+        a = sample_latents(fn, SCHED, noise, key, 10, guidance_scale=3.0,
+                           eta=1.0)
+        b = sample_latents(fn, SCHED, noise, key, 10, guidance_scale=3.0,
+                           eta=1.0, guidance_interval=(0, 1000))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_guidance_interval_band_differs(self):
+        key = jax.random.PRNGKey(0)
+        noise = jax.random.normal(key, (2, 8, 4))
+        fn = linear_model(True)
+        a = sample_latents(fn, SCHED, noise, key, 10, guidance_scale=3.0,
+                           eta=0.0)
+        b = sample_latents(fn, SCHED, noise, key, 10, guidance_scale=3.0,
+                           eta=0.0, guidance_interval=(300, 700))
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+        assert np.isfinite(np.asarray(b)).all()
+
+    def test_rescale_matches_torch_std_semantics(self, rng):
+        x = rng.standard_normal((2, 8, 4)).astype(np.float32)
+        y = (2.0 * rng.standard_normal((2, 8, 4))).astype(np.float32)
+        got = np.asarray(rescale_noise_cfg(jnp.asarray(y), jnp.asarray(x), 0.7))
+        import torch
+
+        xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+        std_x = xt.std(dim=[1, 2], keepdim=True)
+        std_y = yt.std(dim=[1, 2], keepdim=True)
+        want = (0.7 * (yt * (std_x / std_y)) + 0.3 * yt).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestFSDPTraining:
+    def test_fsdp_step_matches_single_device(self, rng):
+        """dp=2 x fsdp=4 sharded training step == unsharded step."""
+        from ezaudio_tpu.models.maskdit import maskdit_from_config
+        from ezaudio_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+        from ezaudio_tpu.training.optim import make_optimizer
+        from ezaudio_tpu.training.trainer import TrainState, make_train_step
+        from tests.test_dit import TINY_MODEL
+
+        model = maskdit_from_config(TINY_MODEL)
+        key = jax.random.PRNGKey(0)
+        B, L, C, Lc, D = 8, 32, 8, 5, 24
+        params = model.init({"params": key, "mask": key},
+                            jnp.zeros((1, L, C)), jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, 1, D)))["params"]
+        schedule = SCHED
+        tx = make_optimizer(params, learning_rate=1e-3, warmup=0)
+        step = make_train_step(model, schedule, tx)
+        batch = {
+            "latents": jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32)),
+            "text": jnp.asarray(rng.standard_normal((B, Lc, D)).astype(np.float32)),
+            "text_mask": jnp.ones((B, Lc), bool),
+            "uncond": jnp.asarray(rng.standard_normal((1, Lc, D)).astype(np.float32)),
+            "uncond_mask": jnp.ones((1, Lc), bool),
+        }
+        k = jax.random.PRNGKey(1)
+
+        s_ref, m_ref = step(TrainState.create(params, tx), batch, k)
+
+        mesh = make_mesh(dp=2, fsdp=4)
+        sp = shard_params(mesh, params)
+        s_sh, m_sh = step(TrainState.create(sp, tx),
+                          shard_batch(mesh, batch), k)
+        np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                                   rtol=1e-5)
+        d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         s_ref.params, jax.device_get(s_sh.params))
+        assert max(jax.tree.leaves(d)) < 2e-5
