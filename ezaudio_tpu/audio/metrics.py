@@ -114,3 +114,56 @@ def stft_phase_loss(pred: jnp.ndarray, target: jnp.ndarray,
         mag = jnp.abs(sy)
         loss = loss + weight * jnp.mean(mag * d**2) / jnp.maximum(jnp.mean(mag), 1e-8)
     return loss
+
+
+# ---------------------------------------------------------------------------
+# Frechet distance (FAD math; plug in any embedding model)
+# ---------------------------------------------------------------------------
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """Frechet distance between two Gaussians (the FAD/FD statistic,
+    Kilgour et al., arXiv 1812.08466).  Host-side numpy/scipy."""
+    import numpy as np
+    from scipy import linalg
+
+    mu1, mu2 = np.asarray(mu1), np.asarray(mu2)
+    cov1, cov2 = np.asarray(cov1), np.asarray(cov2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
+                 - 2 * np.trace(covmean))
+
+
+def _gaussian_stats(emb):
+    import numpy as np
+
+    emb = np.asarray(emb, np.float64)
+    mu = emb.mean(axis=0)
+    cov = np.cov(emb, rowvar=False)
+    return mu, np.atleast_2d(cov)
+
+
+def frechet_audio_distance(emb_eval, emb_ref) -> float:
+    """FAD over two sets of per-clip embeddings (N, D).
+
+    The canonical metric uses VGGish embeddings (external weights); any
+    embedding function works — see ``mel_statistics_embedding`` for a
+    dependency-free proxy useful for regression tracking."""
+    mu1, cov1 = _gaussian_stats(emb_eval)
+    mu2, cov2 = _gaussian_stats(emb_ref)
+    return frechet_distance(mu1, cov1, mu2, cov2)
+
+
+def mel_statistics_embedding(wavs, sr: int, n_mels: int = 64,
+                             n_fft: int = 1024) -> jnp.ndarray:
+    """A lightweight per-clip embedding: log-mel mean/std/delta-mean per
+    band -> (N, 3*n_mels).  Not VGGish — a proxy for fixture-free FAD-style
+    regression tests and training monitoring."""
+    m = mel_spectrogram(jnp.asarray(wavs), sr, n_fft, n_fft // 4, n_mels)
+    logm = jnp.log(jnp.maximum(m, 1e-5))
+    mean = logm.mean(axis=-1)
+    std = logm.std(axis=-1)
+    dmean = jnp.abs(jnp.diff(logm, axis=-1)).mean(axis=-1)
+    return jnp.concatenate([mean, std, dmean], axis=-1)

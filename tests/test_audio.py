@@ -202,3 +202,36 @@ class TestDataset:
         b2_resumed = next(iter(it2))
         b2_direct = next(g)
         np.testing.assert_array_equal(sorted(b2_resumed["text"]), sorted(b2_direct["text"]))
+
+
+class TestFrechet:
+    def test_identical_distributions_near_zero(self, rng):
+        from ezaudio_tpu.audio.metrics import frechet_audio_distance
+
+        a = rng.standard_normal((200, 8))
+        assert frechet_audio_distance(a, a.copy()) < 1e-6
+
+    def test_shifted_distribution_positive(self, rng):
+        from ezaudio_tpu.audio.metrics import frechet_audio_distance
+
+        a = rng.standard_normal((200, 8))
+        b = rng.standard_normal((200, 8)) + 2.0
+        d = frechet_audio_distance(a, b)
+        assert d > 8 * 3.0  # ~ ||diff||^2 = 8 * 4
+
+    def test_mel_embedding_discriminates(self, rng):
+        import jax.numpy as jnp
+
+        from ezaudio_tpu.audio.metrics import (
+            frechet_audio_distance, mel_statistics_embedding)
+
+        sr = 8000
+        t = np.arange(sr) / sr
+        tones = np.stack([np.sin(2 * np.pi * f * t)
+                          for f in rng.uniform(200, 400, 16)]).astype(np.float32)
+        noise = rng.standard_normal((16, sr)).astype(np.float32) * 0.3
+        e_tone = np.asarray(mel_statistics_embedding(tones, sr))
+        e_noise = np.asarray(mel_statistics_embedding(noise, sr))
+        d_same = frechet_audio_distance(e_tone[:8], e_tone[8:])
+        d_diff = frechet_audio_distance(e_tone, e_noise)
+        assert d_diff > 5 * max(d_same, 1e-3)
