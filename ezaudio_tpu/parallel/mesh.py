@@ -106,3 +106,48 @@ def param_shardings(mesh: Mesh, params):
 def shard_params(mesh: Mesh, params):
     shardings = param_shardings(mesh, params)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel rules for the DiT
+# ---------------------------------------------------------------------------
+
+def _tp_spec_for_path(path, shape, tp: int, fsdp: int) -> P:
+    """Megatron-style TP layout for DiT parameters:
+
+      * attention to_q/to_k/to_v kernels (D, D)      -> shard OUT dim (heads)
+      * attention proj kernel (D, D)                 -> shard IN dim
+      * mlp proj_in kernel (D, I or 2I)              -> shard OUT dim
+      * mlp proj_out kernel (I, D)                   -> shard IN dim
+
+    XLA inserts the all-reduce after proj/proj_out.  Everything else
+    follows the fsdp rule (largest divisible axis) or is replicated.
+    """
+    names = [getattr(p, "key", str(p)) for p in path]
+    leaf = names[-1]
+    parent = names[-2] if len(names) >= 2 else ""
+    grandparent = names[-3] if len(names) >= 3 else ""
+
+    if tp > 1 and leaf == "kernel" and len(shape) == 2:
+        if parent in ("to_q", "to_k", "to_v") and shape[1] % tp == 0:
+            return P(None, "tp")
+        if parent == "proj" and grandparent in ("attn", "cross_attn") \
+                and shape[0] % tp == 0:
+            return P("tp", None)
+        if parent == "proj_in" and grandparent == "mlp" and shape[1] % tp == 0:
+            return P(None, "tp")
+        if parent == "proj_out" and grandparent == "mlp" and shape[0] % tp == 0:
+            return P("tp", None)
+    return _fsdp_spec(shape, fsdp)
+
+
+def dit_param_shardings(mesh: Mesh, params):
+    """NamedShardings for a (Mask)DiT parameter tree with TP + FSDP rules."""
+    tp = mesh.shape["tp"]
+    fsdp = mesh.shape["fsdp"]
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    specs = [
+        NamedSharding(mesh, _tp_spec_for_path(path, getattr(leaf, "shape", ()), tp, fsdp))
+        for path, leaf in flat[0]
+    ]
+    return jax.tree_util.tree_unflatten(flat[1], specs)

@@ -130,3 +130,36 @@ class TestFSDPTraining:
         d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          s_ref.params, jax.device_get(s_sh.params))
         assert max(jax.tree.leaves(d)) < 2e-5
+
+
+class TestTensorParallel:
+    def test_tp_sharded_forward_matches(self, rng):
+        """dp=2 x tp=4 TP-sharded DiT forward == unsharded forward (XLA's
+        SPMD is semantics-preserving; this validates the rules drive real
+        sharded layouts and correct collectives)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ezaudio_tpu.models.maskdit import maskdit_from_config
+        from ezaudio_tpu.parallel.mesh import dit_param_shardings, make_mesh
+        from tests.test_dit import TINY_MODEL
+
+        model = maskdit_from_config(TINY_MODEL)
+        key = jax.random.PRNGKey(0)
+        B, L, C, Lc, D = 4, 32, 8, 5, 24
+        x = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+        ctx = jnp.asarray(rng.standard_normal((B, Lc, D)).astype(np.float32))
+        t = jnp.asarray([5, 100, 500, 900])
+        params = model.init({"params": key, "mask": key}, x[:1], t[:1], ctx[:1])
+
+        fwd = jax.jit(lambda p, x, t, c: model.apply(p, x, t, c)[0])
+        want = np.asarray(fwd(params, x, t, ctx))
+
+        mesh = make_mesh(dp=2, fsdp=1, tp=4)
+        shardings = {"params": dit_param_shardings(mesh, params["params"])}
+        p_sh = jax.tree.map(jax.device_put, params, shardings)
+        # confirm TP actually sharded attention kernels
+        specs = [s.spec for s in jax.tree.leaves(shardings)]
+        assert any("tp" in str(s) for s in specs)
+        x_sh = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        got = np.asarray(fwd(p_sh, x_sh, t, ctx))
+        np.testing.assert_allclose(got, want, atol=2e-5)
