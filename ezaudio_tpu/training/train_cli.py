@@ -52,7 +52,7 @@ def main(argv=None):
     from ezaudio_tpu.api.ezaudio import EzAudio
     from ezaudio_tpu.config import load_yaml_with_includes
     from ezaudio_tpu.data.dataset import EACaps, ResumableIterator
-    from ezaudio_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from ezaudio_tpu.parallel.mesh import make_mesh, shard_batch
     from ezaudio_tpu.training.trainer import Trainer
     from ezaudio_tpu.utils import scale_shift  # noqa: F401  (used in step)
 
@@ -71,8 +71,6 @@ def main(argv=None):
         params_cfg.opt.to_dict() if "opt" in params_cfg else {},
         mesh=mesh, scale=ez.scale, shift=ez.shift,
         train_frames=params_cfg.get("data", {}).get("train_frames"))
-    trainer.state = trainer.state.replace(
-        params=shard_params(mesh, trainer.state.params))
 
     train_set = EACaps(**params_cfg.data.train.to_dict(),
                        seed=args.random_seed)

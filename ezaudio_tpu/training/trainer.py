@@ -143,17 +143,17 @@ class Trainer:
             grad_clip=opt_cfg.get("grad_clip", 1.0),
             accumulation_steps=opt_cfg.get("accumulation_steps", 1),
         )
+        if mesh is not None:
+            # shard params BEFORE building the optimizer state: optax init
+            # uses zeros_like, so the optimizer state inherits the same
+            # NamedShardings (ZeRO-style over fsdp)
+            from ezaudio_tpu.parallel.mesh import shard_params
+
+            params = shard_params(mesh, params)
         state = TrainState.create(params, tx)
         step_fn = make_train_step(
             model, schedule, tx, scale=scale, shift=shift,
             snr_gamma=opt_cfg.get("snr_gamma"), train_frames=train_frames)
-        if mesh is not None:
-            from ezaudio_tpu.parallel.mesh import shard_params
-
-            state = state.replace(
-                params=shard_params(mesh, state.params),
-                opt_state=jax.tree.map(
-                    lambda x: x, state.opt_state))  # opt state follows params lazily
         return cls(model=model, schedule=schedule, tx=tx, state=state,
                    step_fn=step_fn, mesh=mesh)
 
