@@ -56,7 +56,35 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_attention_diff(q, k, v, key_mask, scale, interpret):
+    return _fused_attention_impl(q, k, v, key_mask, scale, interpret)
+
+
+def _fused_attention_fwd(q, k, v, key_mask, scale, interpret):
+    return (_fused_attention_impl(q, k, v, key_mask, scale, interpret),
+            (q, k, v, key_mask))
+
+
+def _fused_attention_bwd(scale, interpret, residuals, g):
+    """Backward via the einsum formulation (recompute): the standard
+    flash-attention economics — one extra forward-sized recompute instead of
+    materializing the score matrix in HBM on the forward pass."""
+    from ezaudio_tpu.ops.attention import dot_product_attention
+
+    q, k, v, key_mask = residuals
+    mask4 = None if key_mask is None else key_mask[:, None, None, :]
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: dot_product_attention(q_, k_, v_, mask=mask4,
+                                                 scale=scale),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_fused_attention_diff.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -67,8 +95,23 @@ def fused_attention(
 ) -> jnp.ndarray:
     """Attention over (B, H, Lq, D) with optional (B, Lk) key mask.
 
-    Grid: one program per (batch, head); everything resident in VMEM.
+    Differentiable: Pallas fused forward, einsum-recompute backward.
     """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _fused_attention_diff(q, k, v, key_mask, float(scale), interpret)
+
+
+def _fused_attention_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Forward kernel wrapper: grid = one program per (batch, head);
+    everything resident in VMEM."""
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     if scale is None:

@@ -41,3 +41,25 @@ class TestFusedAttention:
         got = fused_attention(q, k, v, scale=0.5, interpret=True)
         want = dot_product_attention(q, k, v, scale=0.5)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestFusedAttentionVJP:
+    def test_grads_match_einsum(self, rng):
+        B, H, L, D = 1, 2, 24, 16
+        q = jnp.asarray(rng.standard_normal((B, H, L, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, H, L, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, H, L, D)).astype(np.float32))
+        mask = jnp.asarray(rng.random((B, L)) > 0.3)
+
+        def f_pallas(q, k, v):
+            return jnp.sum(fused_attention(q, k, v, key_mask=mask,
+                                           interpret=True) ** 2)
+
+        def f_einsum(q, k, v):
+            return jnp.sum(dot_product_attention(
+                q, k, v, mask=mask[:, None, None, :]) ** 2)
+
+        gp = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+        ge = jax.grad(f_einsum, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, ge):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
