@@ -27,6 +27,12 @@ jax.config.update("jax_platforms", "cpu")
 # parity tests need true float32 matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persist compiled programs across test runs (most suite time is compiles).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
