@@ -1,0 +1,62 @@
+"""Pretransform tests: PQMF reconstruction, facades, factory."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ezaudio_tpu.codecs.pretransforms import (
+    AutoencoderPretransform, PQMFPretransform, create_pretransform_from_config)
+
+
+class TestPQMF:
+    def test_near_perfect_reconstruction(self, rng):
+        pq = PQMFPretransform(num_bands=8, taps=124)
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.2 * np.sin(2 * np.pi * 3100 * t)).astype(np.float32)
+        xin = jnp.asarray(x)[None, :, None]
+        z = pq.encode(xin)
+        assert z.shape == (1, len(x) // 8, 8)
+        rec = np.asarray(pq.decode(z))[0, :, 0]
+        # trim filter transients, compensate group delay
+        d = np.argmax(np.correlate(rec, x[: sr // 2], mode="valid"))
+        seg_r = rec[d : d + sr]
+        seg_x = x[:sr]
+        err = np.sqrt(np.mean((seg_r - seg_x) ** 2)) / np.sqrt(np.mean(seg_x**2))
+        assert err < 0.05, err  # near-perfect reconstruction
+
+    def test_band_separation(self):
+        """A low tone should live in the lowest band."""
+        pq = PQMFPretransform(num_bands=8, taps=124)
+        sr = 16000
+        t = np.arange(sr) / sr
+        lo = np.sin(2 * np.pi * 300 * t).astype(np.float32)  # < sr/16
+        z = np.asarray(pq.encode(jnp.asarray(lo)[None, :, None]))[0]
+        energy = np.square(z).sum(axis=0)
+        assert energy[0] > 0.9 * energy.sum()
+
+    def test_factory(self):
+        pt = create_pretransform_from_config(
+            {"type": "pqmf", "config": {"num_bands": 4}}, 16000)
+        assert pt.downsampling_ratio == 4
+        assert create_pretransform_from_config(None, 16000) is None
+
+
+class TestAutoencoderPretransform:
+    def test_wraps_facade_with_scale(self, rng):
+        class FakeFacade:
+            downsampling_ratio = 2
+
+            def encode(self, x):
+                return x[:, ::2]
+
+            def decode(self, z):
+                return jnp.repeat(z, 2, axis=1)
+
+        pt = AutoencoderPretransform(FakeFacade(), scale=2.0)
+        x = jnp.asarray(rng.standard_normal((1, 8, 1)).astype(np.float32))
+        z = pt.encode(x)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(x[:, ::2]) / 2.0)
+        rec = pt.decode(z)
+        assert rec.shape == (1, 8, 1)
