@@ -35,16 +35,29 @@ import numpy as np
 
 def frame_energy(audio: jnp.ndarray, hop_size: int, window_size: int,
                  padding: str = "reflect") -> jnp.ndarray:
-    """Framewise mean of squares: (B, T) -> (B, T // hop)."""
+    """Framewise mean of squares: (B, T) -> (B, T // hop).
+
+    Implemented as hop-chunk partial sums + a short moving sum (when
+    ``window % hop == 0``, the EzAudio configs) or a cumsum difference —
+    ``lax.reduce_window`` with a 1920-wide window overflows scoped VMEM on
+    TPU for 10 s clips."""
     n_frames = audio.shape[-1] // hop_size
     pad = (window_size - hop_size) // 2
     mode = {"reflect": "reflect", "constant": "constant"}[padding]
     x = jnp.pad(audio, ((0, 0), (pad, pad)), mode=mode)
     sq = jnp.square(x)
-    # sum over sliding windows via reduce_window (VPU-friendly)
-    sums = jax.lax.reduce_window(
-        sq, 0.0, jax.lax.add, window_dimensions=(1, window_size),
-        window_strides=(1, hop_size), padding="VALID")
+    B, Tp = sq.shape
+    if window_size % hop_size == 0:
+        r = window_size // hop_size
+        n_chunks = Tp // hop_size
+        chunk_sums = sq[:, : n_chunks * hop_size].reshape(
+            B, n_chunks, hop_size).sum(axis=-1)
+        sums = sum(chunk_sums[:, i : i + n_frames] for i in range(r))
+    else:
+        cs = jnp.concatenate(
+            [jnp.zeros((B, 1), sq.dtype), jnp.cumsum(sq, axis=-1)], axis=-1)
+        starts = jnp.arange(n_frames) * hop_size
+        sums = cs[:, starts + window_size] - cs[:, starts]
     return sums[:, :n_frames] / window_size
 
 
