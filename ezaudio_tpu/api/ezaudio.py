@@ -171,7 +171,7 @@ class EzAudio:
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=32)
     def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta,
-                 use_gt: bool, guidance_interval=None):
+                 use_gt: bool, guidance_interval=None, sampler: str = "ddim"):
         """Compile (and cache) the full denoising program for a signature."""
         schedule = self.noise_scheduler
         dit = self.dit
@@ -195,6 +195,13 @@ class EzAudio:
                     gt=gt_b, mae_mask_infer=gm_b)
                 return out
 
+            if sampler == "dpm":
+                from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
+
+                return dpm_solver_sample(
+                    model_fn, schedule, noise, steps,
+                    guidance_scale=guidance_scale,
+                    guidance_rescale=guidance_rescale)
             return sample_latents(
                 model_fn, schedule, noise, key, steps,
                 guidance_scale=guidance_scale,
@@ -207,7 +214,7 @@ class EzAudio:
     def _generate_latents(
         self, texts: List[str], frames: int,
         guidance_scale, guidance_rescale, ddim_steps, eta, random_seed,
-        gt=None, gt_mask=None, guidance_interval=None,
+        gt=None, gt_mask=None, guidance_interval=None, sampler="ddim",
     ):
         B = len(texts)
         if random_seed is None:
@@ -231,7 +238,8 @@ class EzAudio:
             gt_mask = jnp.zeros((B, frames, 1), bool)
         run = self._sampler(int(ddim_steps), guidance_scale, guidance_rescale,
                             float(eta), use_gt,
-                            tuple(guidance_interval) if guidance_interval else None)
+                            tuple(guidance_interval) if guidance_interval else None,
+                            sampler)
         latents = run(self.dit_params, noise, ctx, cmask, gt, gt_mask, k_steps)
         return latents
 
@@ -247,8 +255,13 @@ class EzAudio:
         random_seed: Optional[int] = None,
         randomize_seed: bool = False,
         guidance_interval: Optional[Tuple[float, float]] = None,
+        sampler: str = "ddim",
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
+
+        ``sampler``: 'ddim' (reference parity, eta-noised) or 'dpm'
+        (DPM-Solver++(2M), deterministic — comparable quality in ~2-4x
+        fewer steps).
 
         ``text`` may be a list of prompts for batched generation; the
         waveform is then (B, T).
@@ -267,7 +280,7 @@ class EzAudio:
         frames = int(length * self.latent_sr)
         latents = self._generate_latents(
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
-            random_seed, guidance_interval=guidance_interval)
+            random_seed, guidance_interval=guidance_interval, sampler=sampler)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # The x480 decoder inflates activations ~1000x vs the latent; decode
         # in sub-batches so large prompt batches never exhaust HBM.

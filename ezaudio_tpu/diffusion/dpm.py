@@ -1,0 +1,110 @@
+"""DPM-Solver++(2M): a second-order ODE sampler for the DDIM schedule.
+
+A training-free inference upgrade over the reference's DDIM-only sampling
+(Lu et al., arXiv 2211.01095, data-prediction multistep variant): reaches
+comparable sample quality in ~2-4x fewer model calls.  Shares the CFG
+conventions of ``sampling.py`` and compiles to one `lax.scan`.
+
+Zero-terminal-SNR handling: the EzAudio schedule has alpha_bar(999) = 0, so
+lambda_0 = -inf.  All update terms are expressed through the ratios
+``exp(-h_i) = (alpha_i sigma_{i+1}) / (alpha_{i+1} sigma_i)`` and
+``h_{i}/h_{i-1}``, whose zero-SNR limits are finite (0), so the first step
+degenerates gracefully to the exact single-step relation
+``x_1 = sigma_1 x_0 + alpha_1 x0_pred``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ezaudio_tpu.diffusion.ddim import DDIMSchedule
+
+
+def _dpm_tables(schedule: DDIMSchedule, num_steps: int):
+    a_t, _, ts = schedule.step_tables(num_steps)
+    abar = a_t.astype(np.float64)
+    alpha = np.sqrt(abar)
+    sigma = np.sqrt(1.0 - abar)
+    # append the terminal point t=0: alpha=1, sigma=0
+    alpha = np.append(alpha, 1.0)
+    sigma = np.append(sigma, 0.0)
+
+    with np.errstate(divide="ignore"):
+        lam = np.log(np.maximum(alpha, 1e-300)) - np.log(np.maximum(sigma, 1e-300))
+    h = lam[1:] - lam[:-1]  # (num_steps,)
+
+    s_ratio = np.zeros(num_steps)
+    e_term = np.zeros(num_steps)
+    for i in range(num_steps):
+        s_ratio[i] = sigma[i + 1] / sigma[i] if sigma[i] > 0 else 0.0
+        # exp(-h_i) via ratios (0 when alpha_i == 0, i.e. zero-SNR start)
+        if alpha[i + 1] > 0 and sigma[i] > 0:
+            e_term[i] = (alpha[i] * sigma[i + 1]) / (alpha[i + 1] * sigma[i])
+        else:
+            e_term[i] = 0.0
+    coeff = alpha[1:] * (1.0 - e_term)
+
+    # multistep ratio 1/(2 r_i) = h_i / (2 h_{i-1}); 0 when h_{i-1} = inf
+    inv2r = np.zeros(num_steps)
+    for i in range(1, num_steps):
+        if np.isfinite(h[i - 1]) and np.isfinite(h[i]):
+            inv2r[i] = h[i] / (2.0 * h[i - 1])
+    # lower_order_final: the terminal step has h = +inf (sigma -> 0); the
+    # 2M extrapolation diverges there, so use first order (standard practice)
+    inv2r[-1] = 0.0
+
+    return (ts, abar.astype(np.float32), s_ratio.astype(np.float32),
+            coeff.astype(np.float32), inv2r.astype(np.float32))
+
+
+def dpm_solver_sample(
+    model_fn: Callable,
+    schedule: DDIMSchedule,
+    noise: jnp.ndarray,
+    num_steps: int,
+    guidance_scale: Optional[float] = None,
+    guidance_rescale: float = 0.0,
+) -> jnp.ndarray:
+    """Deterministic DPM-Solver++(2M) sampling (the eta=0 regime).
+
+    ``model_fn`` has the same contract as ``sample_latents``.
+    """
+    from ezaudio_tpu.diffusion.sampling import rescale_noise_cfg
+
+    ts_np, abar_np, s_ratio, coeff, inv2r = _dpm_tables(schedule, num_steps)
+    ts = jnp.asarray(ts_np)
+    abar = jnp.asarray(abar_np)
+    s_ratio = jnp.asarray(s_ratio)
+    coeff = jnp.asarray(coeff)
+    inv2r = jnp.asarray(inv2r)
+
+    def predict_x0(x, i):
+        t = ts[i]
+        if guidance_scale is not None:
+            pair = jnp.concatenate([x, x], axis=0)
+            out = model_fn(pair, t)
+            cond, uncond = jnp.split(out, 2, axis=0)
+            pred = uncond + guidance_scale * (cond - uncond)
+            if guidance_rescale > 0.0:
+                pred = rescale_noise_cfg(pred, cond, guidance_rescale)
+        else:
+            pred = model_fn(x, t)
+        x0, _ = schedule.convert_output(pred, x, abar[i])
+        return x0
+
+    def body(carry, i):
+        x, x0_prev, has_prev = carry
+        x0 = predict_x0(x, i)
+        # 2M combination (first step: plain x0)
+        w = inv2r[i] * has_prev
+        D = (1.0 + w) * x0 - w * x0_prev
+        x_next = s_ratio[i] * x + coeff[i] * D
+        return (x_next.astype(x.dtype), x0, jnp.float32(1.0)), None
+
+    init = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
+    (x, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+    return x

@@ -113,3 +113,18 @@ class TestLengthExtension:
         sr, wav = ez.generate_audio("wind", length=1, ddim_steps=2,
                                     random_seed=0)
         assert wav.shape == (1 * TINY_SR,)
+
+
+class TestDPMSamplerOption:
+    def test_dpm_generate(self, ez):
+        sr, wav = ez.generate_audio("rain", length=2, ddim_steps=6,
+                                    random_seed=1, sampler="dpm")
+        assert wav.shape == (2 * TINY_SR,)
+        assert np.isfinite(wav).all()
+
+    def test_dpm_differs_from_ddim(self, ez):
+        _, a = ez.generate_audio("rain", length=2, ddim_steps=6,
+                                 random_seed=1, sampler="dpm")
+        _, b = ez.generate_audio("rain", length=2, ddim_steps=6,
+                                 random_seed=1, sampler="ddim")
+        assert np.abs(a - b).max() > 1e-6
