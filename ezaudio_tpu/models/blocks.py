@@ -275,7 +275,8 @@ class DiTBlock(nn.Module):
 
 class FinalBlock(nn.Module):
     """Final projection: strip extras, AdaLN-modulated norm, linear to
-    patch_dim, unpatchify, optional width-3 output conv (blocks.py:163-211)."""
+    patch_dim, unpatchify, optional width-3 output conv (blocks.py:163-211).
+    1d and 2d variants (2d: p^2*C patch dim, 3x3 output Conv2d)."""
 
     embed_dim: int
     patch_size: int
@@ -283,6 +284,8 @@ class FinalBlock(nn.Module):
     norm_layer: str = "layernorm"
     use_conv: bool = True
     use_adanorm: bool = True
+    input_type: str = "1d"
+    img_size: tuple = None  # (H, W), 2d only
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -294,6 +297,17 @@ class FinalBlock(nn.Module):
             mod = time_ada.reshape(B, 2, self.embed_dim)
             shift, scale = mod[:, 0:1, :], mod[:, 1:2, :]
             h = film_modulate(h, shift, scale)
+        if self.input_type == "2d":
+            from ezaudio_tpu.ops.convs import Conv2d
+            from ezaudio_tpu.ops.embeddings import unpatchify_2d
+
+            patch_dim = self.patch_size**2 * self.out_chans
+            h = xavier_linear(self.embed_dim, patch_dim, dtype=self.dtype, name="linear")(h)
+            h = unpatchify_2d(h, self.out_chans, tuple(self.img_size))
+            if self.use_conv:
+                h = Conv2d(self.out_chans, self.out_chans, (3, 3),
+                           padding=(1, 1), dtype=self.dtype, name="final_conv")(h)
+            return h
         patch_dim = self.patch_size * self.out_chans
         h = xavier_linear(self.embed_dim, patch_dim, dtype=self.dtype, name="linear")(h)
         h = unpatchify_1d(h, self.out_chans)

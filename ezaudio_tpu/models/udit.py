@@ -78,14 +78,24 @@ class UDiT(nn.Module):
     def __call__(self, x, timesteps, context=None, x_mask=None,
                  context_mask=None, cls_token=None,
                  controlnet_skips: Optional[Sequence[jnp.ndarray]] = None):
-        """x: (B, T, in_chans); timesteps: (B,) or scalar; context: (B, Lc, ctx_dim)."""
+        """x: (B, T, in_chans) [1d] or (B, H, W, in_chans) [2d];
+        timesteps: (B,) or scalar; context: (B, Lc, ctx_dim)."""
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
 
-        num_patches = self.img_size // self.patch_size
-        x = PatchEmbed1D(patch_size=self.patch_size, in_chans=self.in_chans,
-                         embed_dim=self.embed_dim, dtype=self.dtype,
-                         name="patch_embed")(x)
+        if self.input_type == "2d":
+            from ezaudio_tpu.ops.embeddings import PatchEmbed2D
+
+            Hh, Ww = self.img_size
+            num_patches = (Hh // self.patch_size) * (Ww // self.patch_size)
+            x = PatchEmbed2D(patch_size=self.patch_size, in_chans=self.in_chans,
+                             embed_dim=self.embed_dim, dtype=self.dtype,
+                             name="patch_embed")(x)
+        else:
+            num_patches = self.img_size // self.patch_size
+            x = PatchEmbed1D(patch_size=self.patch_size, in_chans=self.in_chans,
+                             embed_dim=self.embed_dim, dtype=self.dtype,
+                             name="patch_embed")(x)
         x = PEWrapper(dim=self.embed_dim, method=self.pe_method,
                       length=num_patches, dtype=self.dtype, name="x_pe")(x)
 
@@ -189,6 +199,8 @@ class UDiT(nn.Module):
         x = FinalBlock(embed_dim=self.embed_dim, patch_size=self.patch_size,
                        out_chans=out_chans, norm_layer=self.norm_layer,
                        use_conv=self.use_conv, use_adanorm=self.use_adanorm,
+                       input_type=self.input_type,
+                       img_size=self.img_size if self.input_type == "2d" else None,
                        dtype=self.dtype, name="final_block")(
             x, time_ada=time_ada_final, extras=extras)
         return x

@@ -212,3 +212,24 @@ class TestAlternativeUDiTModes:
 
     def test_snake_ff(self):
         self._run(act_layer="gesnake")
+
+
+class TestUDiT2D:
+    def test_2d_forward(self):
+        """2D spectrogram-latent variant (reference input_type='2d' path)."""
+        from ezaudio_tpu.models.udit import UDiT
+
+        m = UDiT(img_size=(8, 16), patch_size=4, in_chans=3, out_chans=3,
+                 input_type="2d", embed_dim=32, depth=2, num_heads=4,
+                 context_dim=8, context_fusion="cross",
+                 context_pe_method="none", pe_method="abs",
+                 time_fusion="ada_single", qk_norm=None, act_layer="geglu",
+                 rope_mode="none", skip=True, use_conv=True,
+                 use_checkpoint=False)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (2, 8, 16, 3))
+        ctx = jax.random.normal(key, (2, 5, 8))
+        p = m.init(key, x, jnp.zeros((2,), jnp.int32), ctx)
+        out = m.apply(p, x, jnp.asarray([3, 9]), ctx)
+        assert out.shape == (2, 8, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
