@@ -28,6 +28,7 @@ import numpy as np
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     ddim_steps = int(os.environ.get("BENCH_STEPS", "100"))
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     length_s = 10.0
     model_name = os.environ.get("BENCH_MODEL", "s3_xl")
 
@@ -57,13 +58,14 @@ def main():
 
     # Warmup / compile
     ez.generate_audio(prompts, length=length_s, ddim_steps=ddim_steps,
-                      random_seed=0)
+                      random_seed=0, sampler=sampler)
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         sr, wav = ez.generate_audio(prompts, length=length_s,
-                                    ddim_steps=ddim_steps, random_seed=i)
+                                    ddim_steps=ddim_steps, random_seed=i,
+                                    sampler=sampler)
         times.append(time.perf_counter() - t0)
     elapsed = float(np.median(times))
 
@@ -72,7 +74,7 @@ def main():
     value = audio_sec / elapsed / n_chips
 
     result = {
-        "metric": f"{model_name} {ddim_steps}-step DDIM+CFG t2a throughput (batch {batch})",
+        "metric": f"{model_name} {ddim_steps}-step {sampler.upper()}+CFG t2a throughput (batch {batch})",
         "value": round(value, 3),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(value / 1.0, 3),  # baseline: 1x real time

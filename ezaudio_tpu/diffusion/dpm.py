@@ -103,7 +103,9 @@ def dpm_solver_sample(
         w = inv2r[i] * has_prev
         D = (1.0 + w) * x0 - w * x0_prev
         x_next = s_ratio[i] * x + coeff[i] * D
-        return (x_next.astype(x.dtype), x0, jnp.float32(1.0)), None
+        # keep carry dtypes stable under bf16 compute (f32 tables promote)
+        return (x_next.astype(x.dtype), x0.astype(x.dtype),
+                jnp.float32(1.0)), None
 
     init = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
     (x, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
