@@ -80,7 +80,7 @@ class EzAudioControlNet:
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=16)
     def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta,
-                 conditioning_scale: float):
+                 conditioning_scale: float, sampler: str = "ddim"):
         base = self.base
         dit: MaskDiT = base.dit
         cn = self.controlnet
@@ -101,6 +101,12 @@ class EzAudioControlNet:
                                  controlnet_skips=skips,
                                  method=MaskDiT.forward_backbone)
 
+            if sampler == "dpm":
+                from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
+
+                return dpm_solver_sample(model_fn, schedule, noise, steps,
+                                         guidance_scale=guidance_scale,
+                                         guidance_rescale=guidance_rescale)
             return sample_latents(model_fn, schedule, noise, key, steps,
                                   guidance_scale=guidance_scale,
                                   guidance_rescale=guidance_rescale, eta=eta)
@@ -120,6 +126,7 @@ class EzAudioControlNet:
         conditioning_scale: float = 1.0,
         random_seed: Optional[int] = None,
         randomize_seed: bool = False,
+        sampler: str = "ddim",
     ) -> Tuple[int, np.ndarray]:
         base = self.base
         sr = base.sr
@@ -161,7 +168,7 @@ class EzAudioControlNet:
                                   self.dtype)
         run = self._sampler(int(ddim_steps), guidance_scale,
                             float(guidance_rescale), float(eta),
-                            float(conditioning_scale))
+                            float(conditioning_scale), sampler)
         latents = run(base.dit_params, self.cn_params, noise, ctx, cmask,
                       jnp.asarray(condition, self.dtype), k_steps)
         pred = scale_shift_re(latents, base.scale, base.shift)
