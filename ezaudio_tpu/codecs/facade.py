@@ -38,6 +38,13 @@ class AutoencoderFacade:
         self.params = params
         self.quantization_first = quantization_first
         self.model_type = model_type
+        # latent channel count for chunked paths (field name differs per family)
+        if model_type == "dac":
+            self.latent_channels = model._latent_dim
+        elif model_type == "encodec":
+            self.latent_channels = model.dimension
+        else:
+            self.latent_channels = model.latent_dim
         if model_type == "encodec":
             self.downsampling_ratio = model.hop_length
             # q_first: encode -> RVQ roundtrip (quantized continuous latent),
@@ -144,7 +151,7 @@ class AutoencoderFacade:
         if not starts or starts[-1] + chunk_samps != total:
             starts.append(total - chunk_samps)
         y_size = total // spl
-        out = np.zeros((audio.shape[0], y_size, self.model.latent_dim), np.float32)
+        out = np.zeros((audio.shape[0], y_size, self.latent_channels), np.float32)
         ol = overlap // 2
         n = len(starts)
         for i, s0 in enumerate(starts):

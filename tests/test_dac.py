@@ -134,3 +134,18 @@ class TestDiscriminator:
         # identical inputs -> zero feature-matching loss
         _, lf0 = generator_loss(fm_real, fm_real)
         assert float(lf0) == 0.0
+
+
+class TestChunkedDAC:
+    def test_chunked_encode_decode(self, dac_pair):
+        from ezaudio_tpu.codecs.facade import AutoencoderFacade
+
+        model, params, d = dac_pair
+        facade = AutoencoderFacade(model, params["params"],
+                                   quantization_first=True, model_type="dac")
+        rng = np.random.default_rng(0)
+        wav = (0.3 * rng.standard_normal((1, 64 * 8, 1))).astype(np.float32)
+        z = facade.encode_audio(wav, chunked=True, overlap=8, chunk_size=24)
+        assert z.shape == (1, 64, 8)
+        rec = facade.decode_audio(z, chunked=True, overlap=8, chunk_size=24)
+        assert rec.shape == (1, 64 * 8, 1)
