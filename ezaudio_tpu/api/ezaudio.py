@@ -48,6 +48,27 @@ _T5_CONFIGS = {
 }
 
 
+def _load_t5_state_dict(path: str) -> dict:
+    """Load T5 weights from a raw state-dict .pt, a HF checkout directory,
+    or a .safetensors file — all host-side numpy."""
+    if os.path.isdir(path):
+        for cand in ("model.safetensors", "pytorch_model.bin"):
+            p = os.path.join(path, cand)
+            if os.path.exists(p):
+                path = p
+                break
+        else:
+            raise FileNotFoundError(f"no T5 weights found under {path}")
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
 class EzAudio:
     """Text-to-audio generation + editing on TPU.
 
@@ -140,11 +161,8 @@ class EzAudio:
             "text encoder width must match model context_dim")
         self.t5 = T5Encoder(self.t5_cfg, dtype=dtype)
         if t5_path:
-            import torch
-
-            sd = torch.load(t5_path, map_location="cpu", weights_only=True)
             self.t5_params = convert_t5_encoder_state_dict(
-                {k: v.numpy() for k, v in sd.items()}, self.t5_cfg)
+                _load_t5_state_dict(t5_path), self.t5_cfg)
         else:
             self.t5_params = self.t5.init(
                 k_t5, jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), bool))["params"]

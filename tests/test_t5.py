@@ -79,3 +79,34 @@ def test_hash_tokenizer_shapes():
     assert mask[1].sum() == 1 and ids[1, 0] == 1  # empty string -> just eos
     ids2, _ = tok(["a dog barking"], max_length=10)
     np.testing.assert_array_equal(ids[0], ids2[0])  # deterministic
+
+
+class TestT5Loading:
+    def test_load_from_hf_dir_and_safetensors(self, hf_pair, tmp_path):
+        """EzAudio's t5_path accepts a raw .pt, a HF checkout dir, or a
+        .safetensors file."""
+        import torch as _torch
+
+        from ezaudio_tpu.api.ezaudio import _load_t5_state_dict
+
+        model, enc, params = hf_pair
+        sd = model.state_dict()
+
+        # raw .pt
+        pt = str(tmp_path / "t5.pt")
+        _torch.save(sd, pt)
+        loaded = _load_t5_state_dict(pt)
+        assert "shared.weight" in loaded
+
+        # safetensors inside a HF-style dir
+        from safetensors.numpy import save_file
+
+        d = tmp_path / "hf"
+        d.mkdir()
+        save_file({k: v.numpy() for k, v in sd.items()},
+                  str(d / "model.safetensors"))
+        loaded2 = _load_t5_state_dict(str(d))
+        np.testing.assert_array_equal(loaded2["shared.weight"],
+                                      loaded["shared.weight"].numpy()
+                                      if hasattr(loaded["shared.weight"], "numpy")
+                                      else loaded["shared.weight"])
