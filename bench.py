@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: repeat bench invocations skip the ~minutes-long
+# XL compile
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "4"))
