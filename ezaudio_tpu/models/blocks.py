@@ -109,13 +109,13 @@ class Attention(nn.Module):
 
             impl = os.environ.get("EZAUDIO_ATTN_IMPL", "auto")
         if impl == "auto":
-            # Pallas and XLA attention measure equal at the EzAudio geometry
-            # (scripts/perf_probe.py); use the fused kernel on TPU when the
-            # whole (Lq, Lk, D) problem fits the single-block design and the
-            # grid stays small (grid programs run sequentially — huge B*H
-            # serializes; XLA's batched matmul wins there).
-            fits = head_dim <= 128 and L <= 4096 and Lk <= 4096 and B * H <= 256
-            impl = "pallas" if (jax.default_backend() == "tpu" and fits) else "einsum"
+            # Measured same-session A/B at the XL geometry (BASELINE.md):
+            # XLA's batched attention beats the single-block Pallas kernel by
+            # ~27% end-to-end (the kernel pads head_dim 72->128 and its grid
+            # programs serialize per (batch, head)).  Default to einsum;
+            # the Pallas kernel stays available via attention_impl="pallas"
+            # or EZAUDIO_ATTN_IMPL=pallas.
+            impl = "einsum"
         if impl == "pallas":
             from ezaudio_tpu.ops.pallas.attention import fused_attention
 
