@@ -261,3 +261,43 @@ def gen_dac():
         data[f"sd.{k}"] = v
     np.savez(os.path.join(OUT, "dac_tiny.npz"), **data)
     print("dac_tiny.npz written", out["audio"].shape)
+
+
+TINY_DIT_CFG2 = dict(
+    mae=True, mae_prob=0.25, mask_ratio=[0.25, 1.0], mask_span=4,
+    img_size=32, patch_size=1, in_chans=17, out_chans=8, input_type="1d",
+    embed_dim=64, depth=4, num_heads=4, mlp_ratio=2.0,
+    qkv_bias=True, qk_scale=None, qk_norm="rmsnorm",
+    norm_layer="rmsnorm", act_layer="gelu", context_norm=False,
+    use_checkpoint=False, time_fusion="ada_single",
+    ada_sola_rank=None, ada_sola_alpha=None, cls_dim=None,
+    context_dim=24, context_fusion="concat", context_max_length=5,
+    context_pe_method="sinu", pe_method="abs", rope_mode="x_only",
+    use_conv=False, skip=True, skip_norm=False,
+)
+
+
+def gen_maskdit_variant():
+    sys.path.insert(0, os.path.join(REF, "src"))
+    from models.conditioners import MaskDiT
+
+    torch.manual_seed(7)
+    model = MaskDiT(**TINY_DIT_CFG2).eval()
+    with torch.no_grad():
+        for n, p in model.named_parameters():
+            if p.abs().max() < 1e-8:
+                p.add_(0.05 * torch.randn_like(p))
+
+    B, L, C = 2, 32, 8
+    x = torch.randn(B, C, L)
+    ctx = torch.randn(B, 5, 24)
+    cmask = torch.tensor([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], dtype=torch.bool)
+    t = torch.tensor([10, 500])
+    with torch.no_grad():
+        out, _ = model(x, t, ctx, context_mask=cmask)
+    data = {"x": x.numpy(), "ctx": ctx.numpy(), "cmask": cmask.numpy(),
+            "t": t.numpy(), "out": out.numpy()}
+    for k, v in state_dict_np(model).items():
+        data[f"sd.{k}"] = v
+    np.savez(os.path.join(OUT, "maskdit_tiny2.npz"), **data)
+    print("maskdit_tiny2.npz written", out.shape)

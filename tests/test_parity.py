@@ -94,3 +94,38 @@ class TestMaskDiTParity:
                                 forward_model=False)
         np.testing.assert_allclose(
             np.asarray(concat), d["concat"].transpose(0, 2, 1), atol=1e-5)
+
+
+class TestMaskDiTVariantParity:
+    """Second golden at a different switch combination: rmsnorm everywhere,
+    ada_single, concat context with sinu PE, abs x-PE, x_only RoPE,
+    qkv biases, no output conv — hardens the converter against the full
+    mode matrix."""
+
+    VARIANT = dict(
+        mae=True, mae_prob=0.25, mask_ratio=[0.25, 1.0], mask_span=4,
+        img_size=32, patch_size=1, in_chans=17, out_chans=8, input_type="1d",
+        embed_dim=64, depth=4, num_heads=4, mlp_ratio=2.0,
+        qkv_bias=True, qk_scale=None, qk_norm="rmsnorm",
+        norm_layer="rmsnorm", act_layer="gelu", context_norm=False,
+        use_checkpoint=False, time_fusion="ada_single",
+        ada_sola_rank=None, ada_sola_alpha=None, cls_dim=None,
+        context_dim=24, context_fusion="concat", context_max_length=5,
+        context_pe_method="sinu", pe_method="abs", rope_mode="x_only",
+        use_conv=False, skip=True, skip_norm=False,
+    )
+
+    def test_variant_forward(self):
+        from ezaudio_tpu.convert.torch_to_jax import convert_maskdit_state_dict
+        from ezaudio_tpu.models.maskdit import maskdit_from_config
+
+        d = load("maskdit_tiny2.npz")
+        sd = {k[len("sd."):]: v for k, v in d.items() if k.startswith("sd.")}
+        params = {"params": convert_maskdit_state_dict(sd, self.VARIANT)}
+        model = maskdit_from_config(self.VARIANT)
+        out, _ = model.apply(
+            params, jnp.asarray(d["x"].transpose(0, 2, 1)),
+            jnp.asarray(d["t"]), jnp.asarray(d["ctx"]),
+            context_mask=jnp.asarray(d["cmask"]))
+        np.testing.assert_allclose(
+            np.asarray(out), d["out"].transpose(0, 2, 1), atol=2e-3)
