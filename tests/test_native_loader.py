@@ -84,3 +84,20 @@ class TestNativeBatch:
         paths, _, sr = wavs
         _, status = native_loader.load_batch(paths[:1], sr, expected_sr=16000)
         assert status[0] == -4
+
+
+class TestNativeConcurrency:
+    def test_parallel_batches_stable(self, tmp_path, rng):
+        """Hammer the thread pool: results must be deterministic per seed
+        regardless of thread count."""
+        sr = 8000
+        paths = []
+        for i in range(32):
+            x = (0.3 * rng.standard_normal(sr + 64 * i)).astype(np.float32)
+            p = str(tmp_path / f"c{i}.wav")
+            save_wav(p, x, sr)
+            paths.append(p)
+        a, sa = native_loader.load_batch(paths, sr, sr, seed=5, n_threads=1)
+        b, sb = native_loader.load_batch(paths, sr, sr, seed=5, n_threads=16)
+        assert (sa == 0).all() and (sb == 0).all()
+        np.testing.assert_array_equal(a, b)
