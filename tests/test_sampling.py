@@ -163,3 +163,44 @@ class TestTensorParallel:
         x_sh = jax.device_put(x, NamedSharding(mesh, P("dp")))
         got = np.asarray(fwd(p_sh, x_sh, t, ctx))
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestDPInference:
+    def test_dp_sharded_sampling_matches(self, rng):
+        """CFG-pair sampling with the prompt batch sharded over dp must
+        equal unsharded sampling (the inference-side analog of the DDP
+        training test)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ezaudio_tpu.models.maskdit import maskdit_from_config
+        from ezaudio_tpu.parallel.mesh import make_mesh, replicate
+        from tests.test_dit import TINY_MODEL
+
+        model = maskdit_from_config(TINY_MODEL)
+        key = jax.random.PRNGKey(0)
+        B, L, C, Lc, D = 4, 32, 8, 5, 24
+        ctx2 = jnp.asarray(rng.standard_normal((2 * B, Lc, D)).astype(np.float32))
+        params = model.init({"params": key, "mask": key},
+                            jnp.zeros((1, L, C)), jnp.zeros((1,), jnp.int32),
+                            ctx2[:1])
+
+        def run(p, noise, c):
+            def model_fn(lat, t):
+                out, _ = model.apply(p, lat, t, c)
+                return out
+
+            return sample_latents(model_fn, SCHED, noise, key, 4,
+                                  guidance_scale=3.0, eta=1.0)
+
+        run = jax.jit(run)
+        noise = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+        want = np.asarray(run(params, noise, ctx2))
+
+        # B=4 prompts -> dp=4 mesh (the CFG pair doubles to 8 inside the
+        # scan and XLA reshards it automatically)
+        mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+        p_sh = replicate(mesh, params)
+        noise_sh = jax.device_put(noise, NamedSharding(mesh, P("dp")))
+        ctx_sh = jax.device_put(ctx2, NamedSharding(mesh, P("dp")))
+        got = np.asarray(run(p_sh, noise_sh, ctx_sh))
+        np.testing.assert_allclose(got, want, atol=2e-5)
