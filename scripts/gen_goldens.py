@@ -207,6 +207,7 @@ if __name__ == "__main__":
     _stub_missing_modules()
     gen_vae()
     gen_maskdit()
+    gen_maskdit_variant()
     gen_controlnet()
     gen_energy()
 
