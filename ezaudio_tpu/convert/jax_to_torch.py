@@ -140,3 +140,48 @@ def save_reference_checkpoint(path: str, params: Dict[str, Any], cfg: dict):
           for k, v in export_maskdit_state_dict(params, cfg).items()}
     torch.save({"model": sd}, path)
     return path
+
+
+def export_controlnet_state_dict(params: Dict[str, Any], model_cfg: dict,
+                                 controlnet_cfg: dict) -> Dict[str, np.ndarray]:
+    """DiTControlNet params -> torch-layout state dict (reference naming)."""
+    sd: Dict[str, np.ndarray] = {}
+    cfg = dict(model_cfg)
+    half = cfg["depth"] // 2
+
+    pe = params["patch_embed"]
+    p_size = cfg.get("patch_size", 1)
+    in_ch = cfg["in_chans"]
+    k = np.asarray(pe["kernel"]).reshape(p_size, in_ch, -1).transpose(2, 1, 0)
+    sd["patch_embed.proj.weight"] = np.ascontiguousarray(k)
+    sd["patch_embed.proj.bias"] = np.asarray(pe["bias"])
+    _lin(sd, "time_embed.mlp.0", params["time_embed"]["fc1"])
+    _lin(sd, "time_embed.mlp.2", params["time_embed"]["fc2"])
+    if "context_embed" in params:
+        _lin(sd, "context_embed.0", params["context_embed"]["fc1"])
+        _lin(sd, "context_embed.2", params["context_embed"]["fc2"])
+    if "time_ada" in params:
+        _lin(sd, "time_ada", params["time_ada"])
+
+    for i in range(half):
+        _block(sd, f"in_blocks.{i}", params[f"in_blocks_{i}"])
+        _rotary_buffers(sd, f"in_blocks.{i}", cfg)
+        _lin(sd, f"controlnet_zero_blocks.{i}", params[f"zero_blocks_{i}"])
+
+    pre = params["controlnet_pre"]
+
+    def conv(dst_name, p):
+        sd[f"{dst_name}.weight"] = np.ascontiguousarray(
+            np.asarray(p["kernel"]).transpose(2, 1, 0))
+        if "bias" in p:
+            sd[f"{dst_name}.bias"] = np.asarray(p["bias"])
+
+    conv("controlnet_pre.conv_in", pre["conv_in"])
+    conv("controlnet_pre.conv_out", pre["conv_out"])
+    if "mask_embed" in pre:
+        sd["controlnet_pre.mask_embed"] = np.asarray(pre["mask_embed"])
+    n_pyr = len(controlnet_cfg["cond_blocks"]) - 1
+    for i in range(n_pyr):
+        conv(f"controlnet_pre.blocks.{i}.0", pre[f"pyramid{i}_conv1"])
+        conv(f"controlnet_pre.blocks.{i}.2", pre[f"pyramid{i}_conv2"])
+    return sd

@@ -51,3 +51,21 @@ class TestExportRoundTrip:
         loaded = torch.load(p, map_location="cpu", weights_only=True)["model"]
         np.testing.assert_array_equal(loaded["mask_embed"].numpy(),
                                       sd["mask_embed"])
+
+
+class TestControlNetExport:
+    def test_roundtrip_identity(self):
+        from ezaudio_tpu.convert.jax_to_torch import export_controlnet_state_dict
+        from ezaudio_tpu.convert.torch_to_jax import convert_controlnet_state_dict
+        from tests.test_controlnet import TINY_CN
+        from tests.test_dit import TINY_MODEL
+
+        d = load("controlnet_tiny.npz")
+        sd = {k[len("sd."):]: v for k, v in d.items() if k.startswith("sd.")}
+        params = convert_controlnet_state_dict(sd, TINY_MODEL, TINY_CN)
+        back = export_controlnet_state_dict(params, TINY_MODEL, TINY_CN)
+        missing = {k for k in set(sd) - set(back) if ".pe" not in k}
+        assert not missing, sorted(missing)[:8]
+        assert not set(back) - set(sd), sorted(set(back) - set(sd))[:8]
+        for k in back:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
