@@ -25,6 +25,24 @@ from ezaudio_tpu.ops.norms import LayerNorm, RMSNorm, make_norm
 from ezaudio_tpu.ops.rope import apply_rope_skip_prefix, rope_tables
 
 
+class _LinearParams(nn.Module):
+    """Declare Linear-shaped params without computing — lets the fused-QKV
+    path share the exact param tree of three separate Linears."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (self.in_features, self.out_features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_features,), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Unified self/cross attention (reference attention.py:40-150).
 
@@ -45,6 +63,7 @@ class Attention(nn.Module):
     zero_proj: bool = False  # zero-init output proj (cross-attn, udit.py init)
     extras: int = 0  # prefix tokens excluded from RoPE in x_only/dual modes
     attention_impl: str = "auto"  # auto | einsum | pallas
+    fused_qkv: bool = True  # pack self-attn q/k/v into one (D, 3D) matmul
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -58,9 +77,23 @@ class Attention(nn.Module):
         head_dim = self.dim // H
         scale = self.qk_scale or head_dim**-0.5
 
-        q = xavier_linear(self.dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_q")(x)
-        k = xavier_linear(ctx_dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_k")(ctx)
-        v = xavier_linear(ctx_dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_v")(ctx)
+        if not cross and self.fused_qkv:
+            # one packed (D, 3D) matmul instead of three.  The params keep
+            # the converter-compatible to_q/to_k/to_v names and shapes; the
+            # weight concat is loop-invariant, so XLA hoists it out of the
+            # sampling scan.
+            parts = [_LinearParams(self.dim, self.dim, self.qkv_bias, name=n)()
+                     for n in ("to_q", "to_k", "to_v")]
+            W = jnp.concatenate([p[0] for p in parts], axis=1).astype(self.dtype)
+            qkv = jnp.dot(x, W, preferred_element_type=self.dtype)
+            if self.qkv_bias:
+                b = jnp.concatenate([p[1] for p in parts]).astype(self.dtype)
+                qkv = qkv + b
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = xavier_linear(self.dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_q")(x)
+            k = xavier_linear(ctx_dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_k")(ctx)
+            v = xavier_linear(ctx_dim, self.dim, dtype=self.dtype, use_bias=self.qkv_bias, name="to_v")(ctx)
 
         Lk = ctx.shape[1]
         q = q.reshape(B, L, H, head_dim).transpose(0, 2, 1, 3)
