@@ -63,7 +63,11 @@ class Attention(nn.Module):
     zero_proj: bool = False  # zero-init output proj (cross-attn, udit.py init)
     extras: int = 0  # prefix tokens excluded from RoPE in x_only/dual modes
     attention_impl: str = "auto"  # auto | einsum | pallas
-    fused_qkv: bool = True  # pack self-attn q/k/v into one (D, 3D) matmul
+    # Packing q/k/v into one (D, 3D) matmul measured 3% SLOWER end-to-end
+    # (BASELINE.md: XLA re-materializes the weight concat inside the scan
+    # rather than hoisting it); kept as an opt-in for future param-layout
+    # work where the packed weight is stored directly.
+    fused_qkv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
