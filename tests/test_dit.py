@@ -233,3 +233,30 @@ class TestUDiT2D:
         out = m.apply(p, x, jnp.asarray([3, 9]), ctx)
         assert out.shape == (2, 8, 16, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFusedQKV:
+    def test_fused_matches_split(self, tiny):
+        """fused_qkv=True consumes the same param tree and must produce
+        identical outputs."""
+        from ezaudio_tpu.models.maskdit import MaskDiT, maskdit_from_config
+
+        model, params, x, ctx, t = tiny
+        fused_cfg = dict(TINY_MODEL)
+        fused = MaskDiT(
+            mae=True, mae_prob=0.25, mask_ratio=(0.25, 1.0), mask_span=4,
+            udit={k: v for k, v in fused_cfg.items()
+                  if k not in ("mae", "mae_prob", "mask_ratio", "mask_span",
+                               "input_type")})
+        # monkey-level: rebuild with fused attention via module tree override
+        import ezaudio_tpu.models.blocks as blocks_mod
+
+        orig = blocks_mod.Attention.fused_qkv
+        blocks_mod.Attention.fused_qkv = True
+        try:
+            out_f, _ = fused.apply(params, x, t, ctx)
+        finally:
+            blocks_mod.Attention.fused_qkv = orig
+        out_s, _ = model.apply(params, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
+                                   atol=2e-5)
