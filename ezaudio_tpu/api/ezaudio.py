@@ -310,6 +310,45 @@ class EzAudio:
         return self.sr, (wav if batched else wav[0])
 
     # ------------------------------------------------------------------
+    def generate_long(
+        self,
+        text: str,
+        length: float,
+        window: float = 10.0,
+        overlap: float = 2.0,
+        guidance_scale: Optional[float] = 5,
+        guidance_rescale: float = 0.75,
+        ddim_steps: int = 100,
+        eta: float = 1,
+        random_seed: Optional[int] = None,
+    ) -> Tuple[int, np.ndarray]:
+        """Generate audio longer than the training window by chained
+        outpainting: generate the first ``window`` seconds, then repeatedly
+        extend with ``editing_audio``'s outpainting mode using ``overlap``
+        seconds of boundary context (the reference reaches long audio the
+        same way, by hand, via its editing API)."""
+        assert window > overlap >= 0
+        sr = self.sr
+        if random_seed is None:
+            random_seed = np.random.randint(0, MAX_SEED)
+        _, audio = self.generate_audio(
+            text, length=min(window, length),
+            guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
+            ddim_steps=ddim_steps, eta=eta, random_seed=random_seed)
+        step = 0
+        while len(audio) < int(length * sr):
+            step += 1
+            cur_s = len(audio) / sr
+            ext = min(window - overlap, length - cur_s)
+            _, audio = self.editing_audio(
+                text, boundary=overlap, gt_file=audio,
+                mask_start=cur_s, mask_length=ext,
+                guidance_scale=guidance_scale,
+                guidance_rescale=guidance_rescale, ddim_steps=ddim_steps,
+                eta=eta, random_seed=random_seed + step)
+        return sr, audio[: int(length * sr)]
+
+    # ------------------------------------------------------------------
     def editing_audio(
         self,
         text: str,

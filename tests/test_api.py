@@ -128,3 +128,16 @@ class TestDPMSamplerOption:
         _, b = ez.generate_audio("rain", length=2, ddim_steps=6,
                                  random_seed=1, sampler="ddim")
         assert np.abs(a - b).max() > 1e-6
+
+
+class TestGenerateLong:
+    def test_long_generation_by_outpainting(self, ez):
+        """Generate 5 s with a 2 s window at tiny scale (chained
+        outpainting)."""
+        sr, wav = ez.generate_long("wind", length=5, window=2, overlap=0.5,
+                                   ddim_steps=2, random_seed=0)
+        assert sr == TINY_SR
+        assert wav.shape == (5 * TINY_SR,)
+        assert np.isfinite(wav).all()
+        # the extension regions are non-silent
+        assert np.abs(wav[3 * TINY_SR:]).max() > 1e-4
