@@ -129,3 +129,52 @@ class TestMaskDiTVariantParity:
             context_mask=jnp.asarray(d["cmask"]))
         np.testing.assert_allclose(
             np.asarray(out), d["out"].transpose(0, 2, 1), atol=2e-3)
+
+
+class TestChunkedVAE:
+    """Chunked overlap-discard encode/decode must match the unchunked path
+    away from chunk boundaries (autoencoders.py:428-559 semantics)."""
+
+    def _facade(self):
+        from ezaudio_tpu.codecs.facade import AutoencoderFacade
+        from ezaudio_tpu.codecs.oobleck import AudioVAE
+
+        import jax
+
+        vae = AudioVAE(io_channels=1, channels=8, latent_dim=4,
+                       c_mults=(1, 2), strides=(2, 4))
+        key = jax.random.PRNGKey(0)
+        params = vae.init({"params": key, "sample": key},
+                          jnp.zeros((1, 64, 1)))["params"]
+        return AutoencoderFacade(vae, params)
+
+    def test_chunked_decode_matches_outside_receptive_field(self, rng):
+        """Within-chunk regions farther than the decoder receptive field
+        from chunk edges match the unchunked decode exactly; overall error
+        stays small (overlap-discard is approximate near seams — the
+        reference documents tuning overlap >= RF empirically,
+        autoencoders.py:436-441)."""
+        facade = self._facade()
+        z = jnp.asarray(rng.standard_normal((1, 96, 4)).astype(np.float32))
+        full = np.asarray(facade.decode(z))
+        chunked = np.asarray(facade.decode_audio(z, chunked=True, overlap=16,
+                                                 chunk_size=48))
+        assert chunked.shape == full.shape
+        spl = facade.downsampling_ratio
+        # first chunk interior, > RF (~19 latent frames) from its right edge
+        np.testing.assert_allclose(chunked[:, : 25 * spl], full[:, : 25 * spl],
+                                   atol=1e-4)
+        # global error bounded (seam transients only)
+        rel = np.sqrt(np.mean((chunked - full) ** 2) / np.mean(full**2))
+        assert rel < 0.1, rel
+
+    def test_chunked_encode_matches_outside_receptive_field(self, rng):
+        facade = self._facade()
+        wav = jnp.asarray(rng.standard_normal((1, 96 * 8, 1)).astype(np.float32))
+        full = np.asarray(facade.encode(wav, sample=False))
+        chunked = np.asarray(facade.encode_audio(wav, chunked=True, overlap=16,
+                                                 chunk_size=48, sample=False))
+        assert chunked.shape == full.shape
+        np.testing.assert_allclose(chunked[:, :25], full[:, :25], atol=1e-4)
+        rel = np.sqrt(np.mean((chunked - full) ** 2) / np.mean(full**2))
+        assert rel < 0.1, rel
