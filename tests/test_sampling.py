@@ -204,3 +204,24 @@ class TestDPInference:
         ctx_sh = jax.device_put(ctx2, NamedSharding(mesh, P("dp")))
         got = np.asarray(run(p_sh, noise_sh, ctx_sh))
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestShardBatchGuard:
+    def test_non_divisible_leading_axis_raises(self):
+        from ezaudio_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+        bad = jnp.zeros((6, 3))  # 6 >= 4 but 6 % 4 != 0
+        with np.testing.assert_raises(ValueError):
+            shard_batch(mesh, {"x": bad})
+        # strict=False keeps the old replicate behavior
+        out = shard_batch(mesh, {"x": bad}, strict=False)
+        assert out["x"].shape == (6, 3)
+
+    def test_small_arrays_replicate_silently(self):
+        from ezaudio_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(dp=4, devices=jax.devices()[:4])
+        out = shard_batch(mesh, {"uncond": jnp.zeros((1, 5, 8)),
+                                 "batch": jnp.zeros((8, 3))})
+        assert out["batch"].shape == (8, 3)
