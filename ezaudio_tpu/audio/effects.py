@@ -125,3 +125,108 @@ def overlap_and_add(windows: np.ndarray, hop_duration: float, sr: int,
         norm[i * hop : i * hop + win] += w**2
     out = out / np.maximum(norm, 1e-8)
     return out[..., :length] if length else out
+
+
+# ---------------------------------------------------------------------------
+# Phase vocoder: time_stretch / pitch_shift (reference
+# audiotools/core/effects.py:247,279 — sox-bound there; pure-DSP here)
+# ---------------------------------------------------------------------------
+
+def _stft_1d(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float64)
+    pad = n_fft // 2
+    xp = np.pad(x.astype(np.float64), (pad, pad), mode="reflect")
+    n_frames = 1 + (xp.size - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = xp[idx] * win[None, :]
+    return np.fft.rfft(frames, axis=1).T  # (F, M)
+
+
+def _istft_1d(spec: np.ndarray, n_fft: int, hop: int,
+              length: Optional[int] = None) -> np.ndarray:
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float64)
+    frames = np.fft.irfft(spec.T, n=n_fft, axis=1) * win[None, :]
+    M = frames.shape[0]
+    T = n_fft + hop * (M - 1)
+    out = np.zeros(T)
+    norm = np.zeros(T)
+    for m in range(M):  # overlap-add (host-side, M ~ hundreds)
+        s = m * hop
+        out[s : s + n_fft] += frames[m]
+        norm[s : s + n_fft] += win * win
+    out = out / np.maximum(norm, 1e-10)
+    pad = n_fft // 2
+    out = out[pad:]
+    if length is not None:
+        out = out[:length] if out.size >= length else np.pad(
+            out, (0, length - out.size))
+    return out
+
+
+def _phase_vocoder(spec: np.ndarray, rate: float, hop: int) -> np.ndarray:
+    """Librosa-style phase vocoder: resample the STFT along time by
+    ``rate`` with magnitude interpolation + accumulated true-frequency
+    phase (vectorized with a cumsum over steps)."""
+    F, M = spec.shape
+    n_fft = 2 * (F - 1)
+    steps = np.arange(0, M, rate)
+    m0 = np.minimum(steps.astype(int), M - 1)
+    m1 = np.minimum(m0 + 1, M - 1)
+    frac = (steps - m0)[None, :]
+
+    mag = (1 - frac) * np.abs(spec[:, m0]) + frac * np.abs(spec[:, m1])
+
+    phi_adv = (np.linspace(0, np.pi * hop, F))[:, None]  # expected/hop
+    dphi = np.angle(spec[:, m1]) - np.angle(spec[:, m0]) - phi_adv
+    dphi = dphi - 2 * np.pi * np.round(dphi / (2 * np.pi))  # wrap
+    step_phase = phi_adv + dphi  # true per-step advance at each position
+
+    phase = np.empty((F, steps.size))
+    phase[:, 0] = np.angle(spec[:, 0])
+    if steps.size > 1:
+        phase[:, 1:] = phase[:, :1] + np.cumsum(step_phase[:, :-1], axis=1)
+    return mag * np.exp(1j * phase)
+
+
+def time_stretch(signal: np.ndarray, rate: float,
+                 n_fft: int = 2048) -> np.ndarray:
+    """Stretch duration by 1/rate without changing pitch (rate > 1 =
+    faster/shorter).  Accepts (T,), (C, T) or (B, C, T)."""
+    if rate <= 0:
+        raise ValueError(f"rate must be positive, got {rate}")
+    x = np.asarray(signal, np.float32)
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    hop = n_fft // 4
+    out_len = int(round(shape[-1] / rate))
+    outs = []
+    for row in flat:
+        spec = _stft_1d(row, n_fft, hop)
+        stretched = _phase_vocoder(spec, rate, hop)
+        outs.append(_istft_1d(stretched, n_fft, hop, length=out_len))
+    return np.stack(outs).reshape(*shape[:-1], out_len).astype(np.float32)
+
+
+def pitch_shift(signal: np.ndarray, sr: int, n_semitones: float,
+                n_fft: int = 2048) -> np.ndarray:
+    """Shift pitch by ``n_semitones`` keeping duration: phase-vocoder
+    stretch by 1/f then resample by f (f = 2^(semitones/12))."""
+    from scipy.signal import resample_poly
+
+    x = np.asarray(signal, np.float32)
+    T = x.shape[-1]
+    f = 2.0 ** (n_semitones / 12.0)
+    if abs(f - 1.0) < 1e-9:
+        return x.copy()
+    stretched = time_stretch(x, rate=1.0 / f, n_fft=n_fft)
+    # resample length T*f -> T (play faster by f => pitch up by f)
+    from fractions import Fraction
+
+    fr = Fraction(f).limit_denominator(1000)
+    flat = stretched.reshape(-1, stretched.shape[-1])
+    out = np.stack([resample_poly(r, fr.denominator, fr.numerator)
+                    for r in flat])
+    out = out[..., :T]
+    if out.shape[-1] < T:
+        out = np.pad(out, ((0, 0), (0, T - out.shape[-1])))
+    return out.reshape(*x.shape[:-1], T).astype(np.float32)

@@ -178,6 +178,23 @@ class AudioSignal:
                             hop_length or n_fft // 4, n_mels))
         return m.reshape(B, C, *m.shape[1:])
 
+    def mfcc(self, n_mfcc: int = 40, n_mels: int = 80,
+             log_offset: float = 1e-6, n_fft: int = 2048,
+             hop_length: Optional[int] = None):
+        """Mel-frequency cepstral coefficients: log-mel projected by an
+        orthonormal DCT-II (reference audio_signal.py:1398-1426).
+        Returns (B, C, n_mfcc, frames)."""
+        mel = self.mel_spectrogram(n_mels, n_fft, hop_length)  # (B,C,M,T)
+        log_mel = np.log(mel + log_offset)
+        # orthonormal DCT-II matrix (n_mels, n_mfcc), torchaudio create_dct
+        n = np.arange(n_mels, dtype=np.float64)
+        k = np.arange(n_mfcc, dtype=np.float64)
+        dct = np.cos(np.pi / n_mels * (n[:, None] + 0.5) * k[None, :])
+        dct *= np.sqrt(2.0 / n_mels)
+        dct[:, 0] *= 1.0 / np.sqrt(2.0)
+        out = np.einsum("bcmt,mk->bckt", log_mel, dct.astype(np.float32))
+        return out.astype(np.float32)
+
     # ------------------------------------------------------------------
     def write(self, path: str) -> "AudioSignal":
         save_wav(path, self.audio_data[0].T, self.sample_rate)

@@ -156,9 +156,26 @@ class PQMFPretransform(Pretransform):
 
 
 class WaveletPretransform(Pretransform):
-    def __init__(self, *a, **k):
-        raise ImportError("Wavelet pretransform requires PyWavelets, which "
-                          "is not available in this environment.")
+    """Multi-level DWT pretransform (reference pretransforms.py:92-109 —
+    whose own ``wavelets`` import is dead upstream; ours is native, see
+    ezaudio_tpu/codecs/wavelets.py)."""
+
+    def __init__(self, channels: int = 1, levels: int = 4,
+                 wavelet: str = "db4"):
+        from ezaudio_tpu.codecs.wavelets import (
+            WaveletDecode1d, WaveletEncode1d)
+
+        self.io_channels = channels
+        self.downsampling_ratio = 2 ** levels
+        self.encoded_channels = channels * self.downsampling_ratio
+        self._enc = WaveletEncode1d(channels, levels, wavelet)
+        self._dec = WaveletDecode1d(channels, levels, wavelet)
+
+    def encode(self, x):
+        return self._enc(x)
+
+    def decode(self, z):
+        return self._dec(z)
 
 
 class PretrainedDACPretransform(Pretransform):

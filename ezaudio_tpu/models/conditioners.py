@@ -238,9 +238,22 @@ class Conditioner:
         elif condition_type == "chroma":
             self.fn = jax.jit(partial(chroma_condition, **kwargs))
         elif condition_type == "vc":
-            # ContentVec features need external pretrained weights; inject a
-            # host-side extractor callable via kwargs['extractor'].
-            self.fn = kwargs["extractor"]
+            # ContentVec/HuBERT content features (reference
+            # src/models/conditions/voice.py:19-36).  Native flax tower:
+            # pass weights= (a transformers-format state dict, e.g.
+            # torch.load of a local ContentVec ckpt) and sr=.  A custom
+            # callable can still be injected via kwargs['extractor'].
+            if "extractor" in kwargs:
+                self.fn = kwargs["extractor"]
+            else:
+                from ezaudio_tpu.models.hubert import (
+                    HubertConfig, VoiceConversionExtractor)
+
+                self.fn = VoiceConversionExtractor(
+                    sr=kwargs.get("sr", 24000),
+                    cfg=kwargs.get("hubert_config") or HubertConfig(),
+                    weights=kwargs.get("weights"),
+                    dtype=kwargs.get("dtype", jnp.float32))
         else:
             raise NotImplementedError(condition_type)
 

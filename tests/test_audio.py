@@ -235,3 +235,79 @@ class TestFrechet:
         d_same = frechet_audio_distance(e_tone[:8], e_tone[8:])
         d_diff = frechet_audio_distance(e_tone, e_noise)
         assert d_diff > 5 * max(d_same, 1e-3)
+
+
+class TestMFCC:
+    def test_shape_and_dc_term(self):
+        from ezaudio_tpu.audio.signal import AudioSignal
+
+        sr = 8000
+        t = np.arange(2 * sr) / sr
+        x = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        sig = AudioSignal(x, sr)
+        m = sig.mfcc(n_mfcc=13, n_mels=40, n_fft=512)
+        assert m.shape[:3] == (1, 1, 13)
+        assert np.isfinite(m).all()
+
+    def test_matches_manual_dct_of_log_mel(self):
+        from ezaudio_tpu.audio.signal import AudioSignal
+
+        rng = np.random.default_rng(0)
+        sr = 8000
+        sig = AudioSignal(0.2 * rng.standard_normal(sr).astype(np.float32), sr)
+        n_mfcc, n_mels = 13, 40
+        mel = sig.mel_spectrogram(n_mels, 512)
+        log_mel = np.log(mel + 1e-6)
+        n = np.arange(n_mels)
+        k = np.arange(n_mfcc)
+        dct = np.cos(np.pi / n_mels * (n[:, None] + 0.5) * k[None, :])
+        dct *= np.sqrt(2.0 / n_mels)
+        dct[:, 0] /= np.sqrt(2.0)
+        want = np.einsum("bcmt,mk->bckt", log_mel, dct)
+        got = sig.mfcc(n_mfcc=n_mfcc, n_mels=n_mels, n_fft=512)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestPhaseVocoder:
+    def _tone(self, sr=8000, secs=2, hz=440):
+        t = np.arange(secs * sr) / sr
+        return np.sin(2 * np.pi * hz * t).astype(np.float32)
+
+    def _peak(self, y, sr):
+        spec = np.abs(np.fft.rfft(y * np.hanning(y.size)))
+        return np.argmax(spec) * sr / y.size
+
+    def test_time_stretch_changes_length_keeps_pitch(self):
+        from ezaudio_tpu.audio.effects import time_stretch
+
+        sr = 8000
+        x = self._tone(sr)
+        for rate in (0.5, 2.0):
+            y = time_stretch(x, rate)
+            assert abs(y.shape[-1] - int(round(x.size / rate))) <= 1
+            assert abs(self._peak(y, sr) - 440) < 5
+
+    def test_pitch_shift_moves_pitch_keeps_length(self):
+        from ezaudio_tpu.audio.effects import pitch_shift
+
+        sr = 8000
+        x = self._tone(sr)
+        for n in (-12, 7, 12):
+            y = pitch_shift(x, sr, n)
+            assert y.shape == x.shape
+            want = 440 * 2 ** (n / 12)
+            assert abs(self._peak(y, sr) - want) < 0.02 * want
+
+    def test_batched_shapes(self):
+        from ezaudio_tpu.audio.effects import pitch_shift, time_stretch
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 1, 8000)).astype(np.float32)
+        assert time_stretch(x, 1.25).shape == (2, 1, 6400)
+        assert pitch_shift(x, 8000, 3).shape == x.shape
+
+    def test_bad_rate_raises(self):
+        from ezaudio_tpu.audio.effects import time_stretch
+
+        with np.testing.assert_raises(ValueError):
+            time_stretch(np.zeros(100, np.float32), 0.0)

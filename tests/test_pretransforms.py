@@ -60,3 +60,53 @@ class TestAutoencoderPretransform:
         np.testing.assert_allclose(np.asarray(z), np.asarray(x[:, ::2]) / 2.0)
         rec = pt.decode(z)
         assert rec.shape == (1, 8, 1)
+
+
+class TestWaveletPretransform:
+    def test_db4_coefficients_match_published(self):
+        from ezaudio_tpu.codecs.wavelets import daubechies_filters
+
+        lo, _ = daubechies_filters(4)
+        want = [0.230377813309, 0.714846570553, 0.630880767930,
+                -0.027983769417, -0.187034811719, 0.030841381836,
+                0.032883011667, -0.010597401785]
+        np.testing.assert_allclose(lo, want, atol=1e-9)
+
+    def test_perfect_reconstruction_all_wavelets(self):
+        from ezaudio_tpu.codecs.wavelets import (
+            WaveletDecode1d, WaveletEncode1d)
+
+        rng = np.random.default_rng(0)
+        for wav in ("haar", "db2", "db4", "db8"):
+            for C in (1, 2):
+                enc = WaveletEncode1d(C, 3, wav)
+                dec = WaveletDecode1d(C, 3, wav)
+                x = jnp.asarray(
+                    rng.standard_normal((2, 64, C)).astype(np.float32))
+                z = enc(x)
+                assert z.shape == (2, 8, C * 8)
+                err = float(jnp.abs(dec(z) - x).max())
+                assert err < 1e-4, (wav, C, err)
+
+    def test_pretransform_wiring(self):
+        from ezaudio_tpu.codecs.pretransforms import (
+            WaveletPretransform, create_pretransform_from_config)
+
+        p = create_pretransform_from_config(
+            {"type": "wavelet",
+             "config": {"channels": 1, "levels": 4, "wavelet": "db2"}},
+            sample_rate=24000)
+        assert isinstance(p, WaveletPretransform)
+        assert p.downsampling_ratio == 16 and p.encoded_channels == 16
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 128, 1)).astype(np.float32))
+        z = p.encode(x)
+        assert z.shape == (1, 8, 16)
+        np.testing.assert_allclose(np.asarray(p.decode(z)), np.asarray(x),
+                                   atol=1e-4)
+
+    def test_unsupported_wavelet_raises(self):
+        from ezaudio_tpu.codecs.wavelets import wavelet_filters
+
+        with np.testing.assert_raises(ValueError):
+            wavelet_filters("bior4.4")
