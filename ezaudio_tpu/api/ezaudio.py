@@ -233,6 +233,7 @@ class EzAudio:
         self, texts: List[str], frames: int,
         guidance_scale, guidance_rescale, ddim_steps, eta, random_seed,
         gt=None, gt_mask=None, guidance_interval=None, sampler="ddim",
+        initial_latents=None,
     ):
         B = len(texts)
         if random_seed is None:
@@ -249,7 +250,13 @@ class EzAudio:
             guidance_scale = None
             ctx, cmask = cond, cond_mask
 
-        noise = jax.random.normal(k_noise, (B, frames, self.latent_dim), self.dtype)
+        if initial_latents is not None:
+            noise = jnp.asarray(initial_latents, self.dtype)
+            assert noise.shape == (B, frames, self.latent_dim), (
+                noise.shape, (B, frames, self.latent_dim))
+        else:
+            noise = jax.random.normal(
+                k_noise, (B, frames, self.latent_dim), self.dtype)
         use_gt = gt is not None
         if not use_gt:
             gt = jnp.zeros((B, frames, self.latent_dim), self.dtype)
@@ -274,8 +281,12 @@ class EzAudio:
         randomize_seed: bool = False,
         guidance_interval: Optional[Tuple[float, float]] = None,
         sampler: str = "ddim",
+        initial_latents=None,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
+
+        ``initial_latents``: optional (B, frames, C) starting noise —
+        overrides the seeded draw (reproducible/controlled generation).
 
         ``sampler``: 'ddim' (reference parity, eta-noised) or 'dpm'
         (DPM-Solver++(2M), deterministic — comparable quality in ~2-4x
@@ -298,7 +309,8 @@ class EzAudio:
         frames = int(length * self.latent_sr)
         latents = self._generate_latents(
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
-            random_seed, guidance_interval=guidance_interval, sampler=sampler)
+            random_seed, guidance_interval=guidance_interval, sampler=sampler,
+            initial_latents=initial_latents)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # The x480 decoder inflates activations ~1000x vs the latent; decode
         # in sub-batches so large prompt batches never exhaust HBM.

@@ -17,6 +17,7 @@ import numpy as np
 import torch
 
 REF = os.environ.get("EZAUDIO_REFERENCE", "/root/reference")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 os.makedirs(OUT, exist_ok=True)
 
@@ -36,15 +37,22 @@ def _stub_missing_modules():
             try:
                 __import__(name)
             except ImportError:
+                import importlib.machinery as ilm
+
                 m = types.ModuleType(name)
+                m.__spec__ = ilm.ModuleSpec(name, loader=None)
                 for k, v in attrs.items():
                     setattr(m, k, v)
                 sys.modules[name] = m
     try:
         import torchaudio  # noqa: F401
     except ImportError:
+        import importlib.machinery as ilm
+
         ta = types.ModuleType("torchaudio")
+        ta.__spec__ = ilm.ModuleSpec("torchaudio", loader=None)
         tr = types.ModuleType("torchaudio.transforms")
+        tr.__spec__ = ilm.ModuleSpec("torchaudio.transforms", loader=None)
         tr.Resample = object
         ta.transforms = tr
         sys.modules["torchaudio"] = ta
@@ -203,13 +211,6 @@ def gen_energy():
     print("energy_tiny.npz written", energy.shape)
 
 
-if __name__ == "__main__":
-    _stub_missing_modules()
-    gen_vae()
-    gen_maskdit()
-    gen_maskdit_variant()
-    gen_controlnet()
-    gen_energy()
 
 
 def gen_dac():
@@ -302,3 +303,215 @@ def gen_maskdit_variant():
         data[f"sd.{k}"] = v
     np.savez(os.path.join(OUT, "maskdit_tiny2.npz"), **data)
     print("maskdit_tiny2.npz written", out.shape)
+
+
+# ---------------------------------------------------------------------------
+# Full-pipeline golden: reference inference() composed path
+# (T5 -> 50-step DDIM+CFG+rescale -> scale_shift_re -> paste -> VAE decode)
+# ---------------------------------------------------------------------------
+
+class _TorchDDIM:
+    """Minimal torch DDIM scheduler implementing the diffusers interface
+    the reference calls (set_timesteps/timesteps/scale_model_input/
+    step(...).prev_sample), written from the published algorithms:
+    DDIM eq. 12 (arXiv 2010.02502), zero-terminal-SNR rescale alg. 1
+    (arXiv 2305.08891), trailing spacing (same paper §4.2), v-prediction
+    (arXiv 2202.00512).  diffusers itself is not installed in this image."""
+
+    def __init__(self, num_train_timesteps=1000, beta_start=0.00085,
+                 beta_end=0.012):
+        self.T = num_train_timesteps
+        betas = torch.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                               num_train_timesteps, dtype=torch.float64) ** 2
+        ab = torch.cumprod(1.0 - betas, dim=0).sqrt()
+        ab0, abT = ab[0].clone(), ab[-1].clone()
+        ab = (ab - abT) * ab0 / (ab0 - abT)      # zero terminal SNR
+        self.alphas_cumprod = (ab ** 2).float()
+        self.final_alpha_cumprod = torch.tensor(1.0)
+
+    def set_timesteps(self, n):
+        self.n = n
+        step = self.T / n
+        self.timesteps = (torch.from_numpy(
+            np.round(np.arange(self.T, 0, -step)).astype(np.int64) - 1))
+
+    def scale_model_input(self, sample, t):
+        return sample
+
+    class _Out:
+        def __init__(self, prev):
+            self.prev_sample = prev
+
+    def step(self, model_output, timestep, sample, eta=0.0, generator=None):
+        t = int(timestep)
+        prev_t = t - self.T // self.n
+        a_t = self.alphas_cumprod[t]
+        a_prev = (self.alphas_cumprod[prev_t] if prev_t >= 0
+                  else self.final_alpha_cumprod)
+        # v-prediction
+        x0 = a_t.sqrt() * sample - (1 - a_t).sqrt() * model_output
+        eps = a_t.sqrt() * model_output + (1 - a_t).sqrt() * sample
+        var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+        std = eta * var.sqrt()
+        direction = (1 - a_prev - std ** 2).clamp(min=0).sqrt() * eps
+        prev = a_prev.sqrt() * x0 + direction
+        if eta > 0:
+            nz = torch.randn(sample.shape, generator=generator,
+                             dtype=sample.dtype)
+            prev = prev + std * nz
+        return self._Out(prev)
+
+
+class _TokWrap:
+    """Adapter: our deterministic HashTokenizer behind the HF-tokenizer
+    interface the reference inference() calls."""
+
+    def __init__(self, vocab_size):
+        from ezaudio_tpu.text.tokenizer import HashTokenizer
+
+        self.tok = HashTokenizer(vocab_size)
+
+    def __call__(self, texts, max_length, padding=None, truncation=None,
+                 return_tensors=None):
+        ids, mask = self.tok(list(texts), max_length=max_length)
+
+        class _B:
+            pass
+
+        b = _B()
+        b.input_ids = torch.from_numpy(ids.astype(np.int64))
+        b.attention_mask = torch.from_numpy(mask)
+        return b
+
+
+def gen_pipeline():
+    """Run the reference's full composed inference path on tiny models and
+    save everything needed to replay it through our pipeline."""
+    import torch.nn as tnn
+
+    sys.path.insert(0, REF)
+    sys.path.insert(0, os.path.join(REF, "src"))
+    sys.path.insert(0, os.path.join(REF, "src", "modules"))
+    from models.conditioners import MaskDiT
+    from stable_vae.models.autoencoders import OobleckDecoder, OobleckEncoder
+    from stable_vae.models.bottleneck import VAEBottleneck
+    from transformers import T5Config, T5EncoderModel
+
+    # src/inference.py uses package-relative imports ("from .utils import");
+    # load it as the package module src.inference (src has no __init__.py,
+    # so synthesize the package)
+    import importlib.util as ilu
+
+    if "src" not in sys.modules:
+        pkg = types.ModuleType("src")
+        pkg.__path__ = [os.path.join(REF, "src")]
+        sys.modules["src"] = pkg
+    spec = ilu.spec_from_file_location(
+        "src.inference", os.path.join(REF, "src", "inference.py"))
+    inf_mod = ilu.module_from_spec(spec)
+    sys.modules["src.inference"] = inf_mod
+    spec.loader.exec_module(inf_mod)
+    inference = inf_mod.inference
+
+    torch.manual_seed(11)
+
+    # tiny T5 (d_model == context_dim 24)
+    t5_cfg = T5Config(vocab_size=256, d_model=24, d_kv=8, d_ff=32,
+                      num_layers=2, num_heads=4, dropout_rate=0.0,
+                      feed_forward_proj="gated-gelu")
+    t5 = T5EncoderModel(t5_cfg).eval()
+
+    dit = MaskDiT(**TINY_DIT_CFG).eval()
+    with torch.no_grad():
+        for n, pp in dit.named_parameters():
+            if pp.abs().max() < 1e-8:
+                pp.add_(0.05 * torch.randn_like(pp))
+
+    vae_cfg = dict(channels=8, c_mults=[1, 2], strides=[2, 4], use_snake=True)
+    enc = OobleckEncoder(in_channels=1, latent_dim=8, **vae_cfg).eval()
+    dec = OobleckDecoder(out_channels=1, latent_dim=8, final_tanh=False,
+                         **vae_cfg).eval()
+    with torch.no_grad():
+        for m in (enc, dec):
+            for n, pp in m.named_parameters():
+                if n.endswith("alpha") or n.endswith("beta") or "weight_g" in n:
+                    pp.add_(0.3 * torch.randn_like(pp))
+
+    class VaeShim(tnn.Module):
+        """reference Autoencoder facade, stable_vae q_first branch
+        (autoencoder_wrapper.py:69-83)."""
+
+        def __init__(self):
+            super().__init__()
+            self.encoder, self.decoder = enc, dec
+            self.bottleneck = VAEBottleneck()
+
+        @torch.no_grad()
+        def forward(self, audio=None, embedding=None):
+            if audio is not None:
+                return self.bottleneck.encode(self.encoder(audio))
+            return self.decoder(embedding)
+
+    vae = VaeShim().eval()
+    tok = _TokWrap(vocab_size=256)
+
+    params = {
+        "text_encoder": {"max_length": 8},
+        "model": {"out_chans": 8},
+        "autoencoder": {"scale": 0.5, "shift": 0.1},
+    }
+    prompt = ["a dog barking in the rain"]
+    seed = 2024
+    steps, guidance, rescale = 25, 3.0, 0.75
+
+    sched = _TorchDDIM()
+    wav = inference(vae, dit, None, None, tok, t5, params, sched,
+                    prompt, audio_frames=32, guidance_scale=guidance,
+                    guidance_rescale=rescale, ddim_steps=steps, eta=0.0,
+                    random_seed=seed, device="cpu")
+
+    # the exact init noise inference() drew (same generator recipe)
+    g = torch.Generator(device="cpu").manual_seed(seed)
+    noise = torch.randn((1, 8, 32), generator=g)
+
+    # editing variant: gt latent + mask, paste semantics
+    torch.manual_seed(5)
+    gt = torch.randn(1, 8, 32)
+    gt_mask = torch.zeros(1, 1, 32, dtype=torch.bool)
+    gt_mask[:, :, 10:22] = True  # regenerate the middle
+    gt_mask_b = gt_mask.expand(1, 8, 32)
+    sched2 = _TorchDDIM()
+    wav_edit = inference(vae, dit, gt, gt_mask_b, tok, t5, params, sched2,
+                         prompt, audio_frames=32, guidance_scale=guidance,
+                         guidance_rescale=0.0, ddim_steps=steps, eta=0.0,
+                         random_seed=seed, device="cpu")
+
+    data = {
+        "prompt": np.array(prompt), "noise": noise.numpy(),
+        "wav": wav.numpy(), "wav_edit": wav_edit.numpy(),
+        "gt": gt.numpy(), "gt_mask": gt_mask.numpy(),
+        "steps": np.array(steps), "guidance": np.array(guidance),
+        "rescale": np.array(rescale),
+        "scale": np.array(0.5), "shift": np.array(0.1),
+        "max_length": np.array(8),
+    }
+    for k, v in state_dict_np(dit).items():
+        data[f"dit.{k}"] = v
+    for k, v in state_dict_np(t5).items():
+        data[f"t5.{k}"] = v
+    for k, v in state_dict_np(enc).items():
+        data[f"enc.{k}"] = v
+    for k, v in state_dict_np(dec).items():
+        data[f"dec.{k}"] = v
+    np.savez(os.path.join(OUT, "pipeline_tiny.npz"), **data)
+    print("pipeline_tiny.npz written", wav.shape, wav_edit.shape)
+
+
+_ALL_GENS = ["vae", "maskdit", "maskdit_variant", "controlnet", "energy",
+             "dac", "pipeline"]
+
+if __name__ == "__main__":
+    _stub_missing_modules()
+    targets = sys.argv[1:] or _ALL_GENS
+    for name in targets:
+        globals()[f"gen_{name}"]()

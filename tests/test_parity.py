@@ -178,3 +178,102 @@ class TestChunkedVAE:
         np.testing.assert_allclose(chunked[:, :25], full[:, :25], atol=1e-4)
         rel = np.sqrt(np.mean((chunked - full) ** 2) / np.mean(full**2))
         assert rel < 0.1, rel
+
+
+class TestPipelineParity:
+    """End-to-end composed-path parity vs the torch reference's
+    inference() (src/inference.py:26-107 + api/ezaudio.py:101-130):
+    HashTokenizer ids -> T5 -> 25-step DDIM + CFG(+rescale) ->
+    scale_shift_re -> (paste) -> Oobleck VAE decode, with converted
+    weights and the reference's exact init noise (eta=0)."""
+
+    @pytest.fixture(scope="class")
+    def ez(self):
+        from ezaudio_tpu.api.ezaudio import EzAudio
+        from ezaudio_tpu.convert.torch_to_jax import (
+            convert_maskdit_state_dict, convert_vae_state_dict)
+        from ezaudio_tpu.text.t5 import (
+            T5EncoderConfig, convert_t5_encoder_state_dict)
+        from scripts.gen_goldens import TINY_DIT_CFG
+
+        d = load("pipeline_tiny.npz")
+        config = dict(
+            model_name="EzAudio-PipelineTiny",
+            model=dict(TINY_DIT_CFG),
+            autoencoder=dict(name="stable_vae", dim=8, sr=256,
+                             latent_sr=32, q_first=True,
+                             scale=float(d["scale"]), shift=float(d["shift"])),
+            text_encoder=dict(model="tiny-t5",
+                              max_length=int(d["max_length"]), cfg=0.1),
+            diff=dict(num_train_timesteps=1000, beta_schedule="scaled_linear",
+                      beta_start=0.00085, beta_end=0.012,
+                      prediction_type="v_prediction",
+                      rescale_betas_zero_snr=True,
+                      timestep_spacing="trailing", clip_sample=False),
+        )
+        vae_config = dict(
+            model_type="autoencoder", sample_rate=256, audio_channels=1,
+            model=dict(
+                encoder=dict(type="oobleck", config=dict(
+                    in_channels=1, channels=8, c_mults=[1, 2],
+                    strides=[2, 4], latent_dim=16, use_snake=True)),
+                decoder=dict(type="oobleck", config=dict(
+                    out_channels=1, channels=8, c_mults=[1, 2],
+                    strides=[2, 4], latent_dim=8, use_snake=True,
+                    final_tanh=False)),
+                bottleneck=dict(type="vae"),
+                latent_dim=8, downsampling_ratio=8, io_channels=1))
+        t5_cfg = T5EncoderConfig(
+            vocab_size=256, d_model=24, d_kv=8, d_ff=32, num_layers=2,
+            num_heads=4)
+
+        ez = EzAudio(config=config, vae_config=vae_config, t5_config=t5_cfg)
+
+        dit_sd = {k[len("dit."):]: v for k, v in d.items()
+                  if k.startswith("dit.")}
+        ez.dit_params = {"params": convert_maskdit_state_dict(
+            dit_sd, config["model"])}
+        t5_sd = {k[len("t5."):]: v for k, v in d.items()
+                 if k.startswith("t5.")}
+        ez.t5_params = convert_t5_encoder_state_dict(t5_sd, t5_cfg)
+        vae_sd = {}
+        for k, v in d.items():
+            if k.startswith("enc."):
+                vae_sd["encoder.layers." + k[len("enc.layers."):]] = v
+            elif k.startswith("dec."):
+                vae_sd["decoder.layers." + k[len("dec.layers."):]] = v
+        ez.autoencoder.params = convert_vae_state_dict(vae_sd, num_blocks=2)
+        return ez, d
+
+    def test_generate_matches_reference(self, ez):
+        ez, d = ez
+        noise = jnp.asarray(d["noise"].transpose(0, 2, 1))  # (1, 32, 8)
+        sr, wav = ez.generate_audio(
+            [str(d["prompt"][0])], length=1.0,
+            guidance_scale=float(d["guidance"]),
+            guidance_rescale=float(d["rescale"]),
+            ddim_steps=int(d["steps"]), eta=0.0, random_seed=0,
+            initial_latents=noise)
+        want = d["wav"][:, 0, :]  # (1, T)
+        assert wav.shape == want.shape
+        np.testing.assert_allclose(wav, want, atol=1e-4)
+        # and tightly correlated (atol alone can hide gross scale issues)
+        c = np.corrcoef(wav.ravel(), want.ravel())[0, 1]
+        assert c > 0.9999, c
+
+    def test_editing_paste_matches_reference(self, ez):
+        from ezaudio_tpu.utils import scale_shift_re
+
+        ez, d = ez
+        noise = jnp.asarray(d["noise"].transpose(0, 2, 1))
+        gt = jnp.asarray(d["gt"].transpose(0, 2, 1))           # (1, 32, 8)
+        gt_mask = jnp.asarray(d["gt_mask"].transpose(0, 2, 1))  # (1, 32, 1)
+        latents = ez._generate_latents(
+            [str(d["prompt"][0])], 32, float(d["guidance"]), 0.0,
+            int(d["steps"]), 0.0, 0, gt=gt, gt_mask=gt_mask,
+            initial_latents=noise)
+        pred = scale_shift_re(latents, ez.scale, ez.shift)
+        pred = jnp.where(gt_mask, pred, gt)  # inference.py:104-105 paste
+        wav = np.asarray(ez.autoencoder.decode(pred))[..., 0]
+        want = d["wav_edit"][:, 0, :]
+        np.testing.assert_allclose(wav, want, atol=1e-4)
