@@ -87,11 +87,179 @@ def stoi(estimate: np.ndarray, reference: np.ndarray, fs: int,
     return float(np.mean(d))
 
 
-def pesq(*args, **kwargs):
-    raise ImportError(
-        "PESQ requires the external 'pesq' package (ITU-T P.862 reference "
-        "implementation), which is not available in this environment. "
-        "Install `pesq` and call pesq.pesq(sr, ref, deg, 'wb') directly.")
+# ---------------------------------------------------------------------------
+# PESQ (ITU-T P.862) — native numpy implementation
+# ---------------------------------------------------------------------------
+
+def _bark_scale(f_hz):
+    """Traunmüller/Zwicker analytic Bark scale."""
+    f = np.asarray(f_hz, np.float64)
+    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _abs_threshold_db(f_hz):
+    """ISO 226-style analytic absolute hearing threshold (dB SPL)."""
+    f = np.maximum(np.asarray(f_hz, np.float64), 20.0) / 1000.0
+    return (3.64 * f ** -0.8
+            - 6.5 * np.exp(-0.6 * (f - 3.3) ** 2)
+            + 1e-3 * f ** 4)
+
+
+def _pesq_frames(x, n_frame):
+    hop = n_frame // 2
+    n = 1 + max(0, (len(x) - n_frame)) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(n_frame)[None]
+    w = 0.5 * (1 - np.cos(2 * np.pi * np.arange(n_frame) / n_frame))
+    return np.abs(np.fft.rfft(x[idx] * w, axis=-1)) ** 2
+
+
+def _align(ref, deg):
+    """Whole-file crude alignment by envelope cross-correlation (the
+    P.862 utterance-splitting fine alignment is omitted — generated audio
+    has a single global offset at most)."""
+    n = 1 << int(np.ceil(np.log2(len(ref) + len(deg))))
+    env_r = np.abs(ref)
+    env_d = np.abs(deg)
+    R = np.fft.rfft(env_r, n)
+    D = np.fft.rfft(env_d, n)
+    xc = np.fft.irfft(D * np.conj(R), n)
+    lag = int(np.argmax(np.concatenate([xc[-len(ref):], xc[: len(deg)]])))
+    lag -= len(ref)
+    if lag > 0:
+        deg = deg[lag:]
+    elif lag < 0:
+        ref = ref[-lag:]
+    n = min(len(ref), len(deg))
+    return ref[:n], deg[:n]
+
+
+def pesq(estimate: np.ndarray, reference: np.ndarray, fs: int,
+         mode: str = "nb") -> float:
+    """Perceptual speech quality following the ITU-T P.862 algorithm
+    structure, in pure numpy.
+
+    Stages (P.862 §10): level alignment to a fixed band power, IRS-like
+    band-pass, envelope time alignment, 32 ms Hann-frame power spectra,
+    Bark-band grouping with frequency compensation, Zwicker loudness
+    (exponent 0.23), center-clipped disturbance with asymmetry weighting
+    (ratio^1.2, clamp 12), L3 band / L6 syllable / L2 time aggregation and
+    the published MOS map ``4.5 - 0.1 d_s - 0.0309 d_a``.
+
+    The standard's 42-band tabulated constants are replaced by analytic
+    Bark-scale / absolute-threshold forms (documented in psychoacoustics
+    literature), so scores CORRELATE with but are not bit-identical to the
+    ITU reference implementation; identical signals score 4.5 and the
+    metric is monotone in SNR (see tests/test_quality_report.py).
+
+    Reference gating note: ``audiotools/metrics/quality.py:64`` shells out
+    to the external ``pesq`` package; this is the native equivalent.
+    """
+    from ezaudio_tpu.data.audio_io import resample
+
+    FS = 8000 if mode == "nb" else 16000
+    ref = resample(np.asarray(reference, np.float64).ravel(), fs, FS)
+    deg = resample(np.asarray(estimate, np.float64).ravel(), fs, FS)
+
+    # --- level alignment: fixed power in the 325-3250 Hz band ---
+    def band_power(x):
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        f = np.fft.rfftfreq(len(x), 1.0 / FS)
+        m = (f >= 325) & (f <= 3250)
+        return spec[m].sum() / len(x) ** 2 * 2
+
+    TARGET = 1e-2
+    ref = ref * np.sqrt(TARGET / max(band_power(ref), 1e-20))
+    deg = deg * np.sqrt(TARGET / max(band_power(deg), 1e-20))
+
+    # --- IRS-like receive filter: telephone band emphasis ---
+    def irs(x):
+        spec = np.fft.rfft(x)
+        f = np.fft.rfftfreq(len(x), 1.0 / FS)
+        gain = np.ones_like(f)
+        gain[f < 200] = (np.maximum(f[f < 200], 50) / 200.0) ** 2
+        gain[f > 3600] = np.exp(-((f[f > 3600] - 3600) / 600.0))
+        return np.fft.irfft(spec * gain, len(x))
+
+    if mode == "nb":
+        ref, deg = irs(ref), irs(deg)
+
+    ref, deg = _align(ref, deg)
+    if len(ref) < FS // 4:
+        return float("nan")
+
+    # --- perceptual model ---
+    N_FRAME = 256 if mode == "nb" else 512  # 32 ms
+    P_ref = _pesq_frames(ref, N_FRAME)  # (frames, bins) power
+    P_deg = _pesq_frames(deg, N_FRAME)
+    n_bins = P_ref.shape[1]
+    f = np.linspace(0, FS / 2, n_bins)
+
+    # Bark bands: uniform 0.5-Bark grid over the audible band
+    z = _bark_scale(f)
+    n_bands = int(np.floor(z[-1] / 0.5))
+    edges = np.arange(n_bands + 1) * 0.5
+    band_of = np.clip(np.digitize(z, edges) - 1, 0, n_bands - 1)
+    B = np.zeros((n_bands, n_bins))
+    B[band_of, np.arange(n_bins)] = 1.0
+    width = np.maximum(B.sum(1), 1.0)
+
+    bark_ref = (P_ref @ B.T) / width  # mean power per band
+    bark_deg = (P_deg @ B.T) / width
+
+    # silent-frame exclusion: 45 dB below loudest reference frame
+    fe = 10 * np.log10(bark_ref.sum(1) + 1e-20)
+    active = fe > fe.max() - 45.0
+    if active.sum() < 4:
+        return float("nan")
+    bark_ref, bark_deg = bark_ref[active], bark_deg[active]
+
+    # frequency compensation: per-band ratio of mean spectra (clamped
+    # +-20 dB), applied to the degraded signal (P.862 partial gain comp.)
+    mr = bark_ref.mean(0)
+    md = bark_deg.mean(0)
+    comp = np.clip(mr / np.maximum(md, 1e-20), 1e-2, 1e2)
+    bark_deg = bark_deg * comp[None, :]
+
+    # hearing threshold per band (intensity units)
+    fc = np.array([f[band_of == b].mean() if (band_of == b).any() else f[-1]
+                   for b in range(n_bands)])
+    thr_db = _abs_threshold_db(fc)
+    P0 = 10 ** (thr_db / 10.0) * 1e-10  # threshold intensity, calibrated
+    P0 = np.maximum(P0, 1e-12)
+
+    # Zwicker loudness
+    def loud(p):
+        sl = (P0 / 0.5) ** 0.23
+        return sl * ((0.5 + 0.5 * p / P0) ** 0.23 - 1.0) * 32.0
+
+    L_ref = loud(bark_ref)
+    L_deg = loud(bark_deg)
+
+    # center-clipped disturbance (deadzone 0.25*min loudness)
+    dead = 0.25 * np.minimum(L_ref, L_deg)
+    d = np.abs(L_deg - L_ref)
+    d = np.maximum(d - dead, 0.0)
+
+    # asymmetry factor: additive components weighted up
+    ratio = (bark_deg + 50.0 * P0) / (bark_ref + 50.0 * P0)
+    asym = np.clip(ratio ** 1.2, 0.0, 12.0)
+    asym[asym < 3.0] = 0.0
+    d_asym = d * asym
+
+    # aggregation: L3 over bands -> L6 over ~320 ms -> L2 over time
+    def agg(dm, p_band, p_time1=6.0):
+        per_frame = (dm ** p_band).mean(1) ** (1.0 / p_band)
+        n_syl = max(1, len(per_frame) // 10)
+        chunks = np.array_split(per_frame, n_syl)
+        syl = np.array([(np.mean(c ** p_time1)) ** (1 / p_time1)
+                        for c in chunks])
+        return float(np.sqrt((syl ** 2).mean()))
+
+    d_s = agg(d, 3.0)
+    d_a = agg(d_asym, 1.0)
+
+    raw = 4.5 - 0.1 * d_s - 0.0309 * d_a
+    return float(np.clip(raw, -0.5, 4.5))
 
 
 def visqol(*args, **kwargs):

@@ -30,13 +30,58 @@ class TestSTOI:
         noisy = x + 1.5 * rng.standard_normal(len(t)).astype(np.float32)
         assert stoi(noisy, x, sr) < stoi(x, x, sr) - 0.2
 
-    def test_pesq_visqol_gated(self):
-        from ezaudio_tpu.audio.quality import pesq, visqol
+    def test_visqol_gated(self):
+        from ezaudio_tpu.audio.quality import visqol
 
         with pytest.raises(ImportError):
-            pesq()
-        with pytest.raises(ImportError):
             visqol()
+
+
+class TestPESQ:
+    """Native P.862-structured PESQ (audio/quality.py): identity scores
+    ~4.5, monotone in SNR, invariant to small delays and level changes."""
+
+    def _speechlike(self, sr=16000, secs=4):
+        t = np.arange(secs * sr) / sr
+        return (np.sin(2 * np.pi * 220 * t)
+                * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+                + 0.3 * np.sin(2 * np.pi * 800 * t)
+                * (0.5 + 0.5 * np.sin(2 * np.pi * 5 * t + 1)))
+
+    def test_identity_near_max(self):
+        from ezaudio_tpu.audio.quality import pesq
+
+        x = self._speechlike()
+        assert pesq(x, x, 16000) > 4.4
+
+    def test_monotone_in_snr(self):
+        from ezaudio_tpu.audio.quality import pesq
+
+        rng = np.random.default_rng(0)
+        x = self._speechlike()
+        scores = []
+        for snr in (40, 20, 10, 0):
+            nz = rng.standard_normal(x.size)
+            nz *= np.sqrt((x ** 2).mean() / (nz ** 2).mean()) * 10 ** (-snr / 20)
+            scores.append(pesq(x + nz, x, 16000))
+        assert all(a > b for a, b in zip(scores, scores[1:])), scores
+        assert scores[0] > 3.5 and scores[-1] < 1.5, scores
+
+    def test_delay_and_level_invariance(self):
+        from ezaudio_tpu.audio.quality import pesq
+
+        x = self._speechlike()
+        base = pesq(x, x, 16000)
+        assert abs(pesq(np.roll(x, 100), x, 16000) - base) < 0.05
+        assert abs(pesq(0.5 * x, x, 16000) - base) < 0.05
+
+    def test_nb_mode_and_short_input_nan(self):
+        from ezaudio_tpu.audio.quality import pesq
+
+        x = self._speechlike(sr=8000, secs=3)
+        s = pesq(x, x, 8000, mode="nb")
+        assert s > 4.3
+        assert np.isnan(pesq(x[:100], x[:100], 8000))
 
 
 class TestReport:
