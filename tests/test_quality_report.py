@@ -128,3 +128,71 @@ class TestPrepareEmbeddings:
         d = dict(np.load(tmp_path / "emb" / "0.npz"))
         assert d["embedding"].shape == (12, 32) and d["mask"].shape == (12,)
         assert os.path.exists(tmp_path / "emb" / "uncond.npz")
+
+
+class TestMUSHRA:
+    def _audio(self, rng, sr=8000):
+        t = np.arange(sr) / sr
+        ref = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        deg = ref + 0.05 * rng.standard_normal(ref.size).astype(np.float32)
+        return {"clip0": {"reference": ref, "ours": deg, "base": 0.8 * deg}}
+
+    def test_page_contains_protocol(self, tmp_path, rng):
+        from ezaudio_tpu.audio.report import MUSHRATest
+
+        m = MUSHRATest(["ours", "base"], ["clip0"], seed=0)
+        path = m.write(str(tmp_path / "m.html"), self._audio(rng), 8000)
+        s = open(path).read()
+        # 4 systems per trial: hidden ref + anchor + 2 conditions
+        assert s.count("type='range'") == 4
+        assert "exportCSV" in s and "audio/wav" in s
+        # blinded: condition names appear only in the JS key, not labels
+        assert "System 0" in s and "System 3" in s
+
+    def test_order_shuffled_per_trial_deterministic(self):
+        from ezaudio_tpu.audio.report import MUSHRATest
+
+        m1 = MUSHRATest(["a", "b"], ["s0", "s1", "s2"], seed=3)
+        m2 = MUSHRATest(["a", "b"], ["s0", "s1", "s2"], seed=3)
+        assert [t["order"] for t in m1.trials] == [t["order"] for t in m2.trials]
+        assert len({tuple(t["order"]) for t in m1.trials}) > 1
+
+    def test_stats_screening(self):
+        from ezaudio_tpu.audio.report import MUSHRATest
+
+        m = MUSHRATest(["ours"], ["s0", "s1"], seed=0)
+        rows = []
+        for user, rs in (("good", 95), ("cheat", 40)):
+            for i, t in enumerate(m.trials):
+                for name in t["order"]:
+                    score = {"__reference__": rs, "__anchor__": 15.0,
+                             "ours": 70.0}[name]
+                    rows.append({"user": user, "trial": i,
+                                 "sample": t["sample"], "system": name,
+                                 "score": score})
+        st = m.stats(rows)
+        assert st["ours"]["n"] == 2  # cheat excluded
+        assert st["__reference__"]["mean"] == 95.0
+        st_all = m.stats(rows, screen=False)
+        assert st_all["ours"]["n"] == 4
+
+    def test_ingest_roundtrip(self, tmp_path):
+        from ezaudio_tpu.audio.report import MUSHRATest
+
+        p = tmp_path / "r.csv"
+        p.write_text("user,trial,sample,system,score\n"
+                     "u,0,s0,ours,77\nu,0,s0,__reference__,95\n")
+        rows = MUSHRATest.ingest([str(p)])
+        assert rows[0]["score"] == 77.0 and len(rows) == 2
+
+
+class TestDisplay:
+    def test_save_image_and_datauri(self, tmp_path, rng):
+        from ezaudio_tpu.audio.display import save_image, spec_data_uri
+
+        sr = 8000
+        wav = (0.3 * rng.standard_normal(sr)).astype(np.float32)
+        p = save_image(wav, sr, str(tmp_path / "s.png"))
+        assert os.path.getsize(p) > 1000
+        uri = spec_data_uri(wav, sr)
+        assert uri.startswith("data:image/png;base64,")
