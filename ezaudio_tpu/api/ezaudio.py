@@ -313,12 +313,15 @@ class EzAudio:
             initial_latents=initial_latents)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # The x480 decoder inflates activations ~1000x vs the latent; decode
-        # in sub-batches so large prompt batches never exhaust HBM.
+        # in sub-batches so large prompt batches never exhaust HBM.  Dispatch
+        # every chunk before materializing any: chunk i+1 decodes on-device
+        # while chunk i rides the host transfer (the transfer is the larger
+        # cost through the tunnel — BASELINE.md round-2 probe).
         B = pred.shape[0]
         chunk = min(B, 4)
-        wavs = [np.asarray(self.autoencoder.decode(pred[i : i + chunk]))[..., 0]
-                for i in range(0, B, chunk)]
-        wav = np.concatenate(wavs, axis=0)  # (B, T)
+        parts = [self.autoencoder.decode(pred[i : i + chunk])
+                 for i in range(0, B, chunk)]
+        wav = np.concatenate([np.asarray(p)[..., 0] for p in parts], axis=0)
         return self.sr, (wav if batched else wav[0])
 
     # ------------------------------------------------------------------

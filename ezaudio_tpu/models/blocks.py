@@ -157,6 +157,14 @@ class Attention(nn.Module):
             from ezaudio_tpu.ops.pallas.attention import fused_attention
 
             out = fused_attention(q, k, v, key_mask=context_mask, scale=scale)
+        elif impl == "flash" and ctx.shape[1] >= 256:
+            # jax's production TPU flash kernel: no logits materialization.
+            # Short-kv cross-attention stays on the einsum path (the kernel
+            # would pad kv 100 -> 128 for no bandwidth win).
+            from ezaudio_tpu.ops.attention import flash_attention_tpu
+
+            out = flash_attention_tpu(q, k, v, key_mask=context_mask,
+                                      scale=scale)
         else:
             mask = make_attention_mask(L, context_mask)
             out = dot_product_attention(q, k, v, mask=mask, scale=scale)

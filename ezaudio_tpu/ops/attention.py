@@ -62,3 +62,56 @@ def make_attention_mask(
     if k_mask is None:
         return None
     return k_mask[:, None, None, :]
+
+
+def flash_attention_tpu(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Flash attention via jax's production TPU Pallas kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention): streams K/V blocks
+    through VMEM without materializing the (Lq, Lk) logits — the einsum
+    path writes ~B*H*L^2 f32 to HBM per layer, which is the dominant
+    batch-scaling term at L=500 (BASELINE.md round-2 probe).
+
+    The kernel needs sequence lengths in multiples of 128 lanes: inputs
+    are zero-padded (500 -> 512) and padded keys are masked via segment
+    ids.  Falls back to the einsum path off-TPU (kernel is TPU-only).
+    """
+    if jax.default_backend() not in ("tpu", "axon"):
+        mask = None if key_mask is None else key_mask[:, None, None, :]
+        return dot_product_attention(q, k, v, mask=mask, scale=scale)
+
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    pad_q = (-Lq) % 128
+    pad_k = (-Lk) % 128
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+
+    seg = None
+    if key_mask is not None or pad_q or pad_k:
+        q_ids = jnp.ones((B, Lq + pad_q), jnp.int32)
+        if pad_q:
+            q_ids = q_ids.at[:, Lq:].set(0)
+        if key_mask is not None:
+            k_ids = jnp.pad(key_mask.astype(jnp.int32),
+                            ((0, 0), (0, pad_k)))
+        else:
+            k_ids = jnp.ones((B, Lk + pad_k), jnp.int32)
+            if pad_k:
+                k_ids = k_ids.at[:, Lk:].set(0)
+        seg = fa.SegmentIds(q=q_ids, kv=k_ids)
+
+    out = fa.flash_attention(qp, kp, vp, segment_ids=seg, causal=False,
+                             sm_scale=float(scale))
+    return out[:, :, :Lq, :]

@@ -249,3 +249,34 @@ class TestPatchify2D:
                   "bias": jnp.asarray(conv.bias.detach().numpy())}
         got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestFlashAttentionWrapper:
+    def test_cpu_fallback_matches_einsum(self, rng):
+        from ezaudio_tpu.ops.attention import (
+            dot_product_attention, flash_attention_tpu)
+
+        q = jnp.asarray(rng.standard_normal((2, 4, 500, 72)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 4, 500, 72)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 4, 500, 72)).astype(np.float32))
+        mask = jnp.asarray(rng.random((2, 500)) > 0.2)
+        want = dot_product_attention(q, k, v, mask=mask[:, None, None, :])
+        got = flash_attention_tpu(q, k, v, key_mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_flash_impl_selected_in_blocks(self, rng):
+        """attention_impl='flash' routes self-attn through the wrapper and
+        produces the same result as einsum on CPU (fallback path)."""
+        from ezaudio_tpu.models.blocks import Attention
+
+        x = jnp.asarray(rng.standard_normal((2, 300, 64)).astype(np.float32))
+        attn = Attention(dim=64, num_heads=4, rope_mode="shared",
+                         attention_impl="einsum")
+        p = attn.init(jax.random.PRNGKey(0), x)
+        want = attn.apply(p, x)
+        attn_f = Attention(dim=64, num_heads=4, rope_mode="shared",
+                           attention_impl="flash")
+        got = attn_f.apply(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
