@@ -230,3 +230,56 @@ def pitch_shift(signal: np.ndarray, sr: int, n_semitones: float,
     if out.shape[-1] < T:
         out = np.pad(out, ((0, 0), (0, T - out.shape[-1])))
     return out.reshape(*x.shape[:-1], T).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Codec simulation (reference effects.py:311 apply_codec — torchaudio/ffmpeg-
+# bound there; here the presets are pure-DSP simulations of the same
+# degradations, no external binaries)
+# ---------------------------------------------------------------------------
+
+CODEC_PRESETS = {
+    # name: (target sample rate, bandwidth Hz, quantization)
+    "8-bit": dict(sr=None, bandwidth=None, mulaw_bits=8),
+    "GSM-FR": dict(sr=8000, bandwidth=3400, mulaw_bits=13),
+    "MP3": dict(sr=None, bandwidth=15500, mulaw_bits=None),
+    "Vorbis": dict(sr=None, bandwidth=16000, mulaw_bits=None),
+    "Ogg": dict(sr=None, bandwidth=16000, mulaw_bits=None),
+    "Amr-nb": dict(sr=8000, bandwidth=3400, mulaw_bits=10),
+}
+
+
+def apply_codec(signal: np.ndarray, sr: int, preset: str = "8-bit"
+                ) -> np.ndarray:
+    """Simulate a lossy codec chain: band-limit, resample down/up, mu-law
+    re-quantize — the audible degradations of the reference's
+    torchaudio-backed presets (effects.py:14-24), without ffmpeg.
+    Returns audio at the ORIGINAL rate/length."""
+    if preset not in CODEC_PRESETS:
+        raise ValueError(
+            f"unknown codec preset {preset!r}; choose from "
+            f"{sorted(CODEC_PRESETS)}")
+    cfg = CODEC_PRESETS[preset]
+    x = np.asarray(signal, np.float32)
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    T = shape[-1]
+
+    from ezaudio_tpu.data.audio_io import resample
+
+    out = []
+    for row in flat:
+        y = row
+        if cfg["bandwidth"] is not None and cfg["bandwidth"] < sr / 2:
+            y = lowpass_biquad(y[None, None, :], sr,
+                               float(cfg["bandwidth"]))[0, 0]
+        if cfg["sr"] is not None and cfg["sr"] != sr:
+            y = resample(y, sr, cfg["sr"])
+            y = resample(y, cfg["sr"], sr)
+            y = y[:T] if y.size >= T else np.pad(y, (0, T - y.size))
+        if cfg["mulaw_bits"] is not None:
+            q = 2 ** cfg["mulaw_bits"]
+            peak = max(np.abs(y).max(), 1e-9)
+            y = mu_law_decode(mu_law_encode(y / peak, q), q) * peak
+        out.append(y.astype(np.float32))
+    return np.stack(out).reshape(shape)

@@ -201,18 +201,64 @@ class AudioSignal:
         return self
 
     # ------------------------------------------------------------------
+    def _coerce(self, other):
+        return other.audio_data if isinstance(other, AudioSignal) else other
+
     def __add__(self, other):
         out = self.clone()
-        out.audio_data = out.audio_data + (
-            other.audio_data if isinstance(other, AudioSignal) else other)
+        out.audio_data = out.audio_data + self._coerce(other)
+        return out
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        out = self.clone()
+        out.audio_data = out.audio_data - self._coerce(other)
+        return out
+
+    def __neg__(self):
+        out = self.clone()
+        out.audio_data = -out.audio_data
         return out
 
     def __mul__(self, other):
         out = self.clone()
-        out.audio_data = out.audio_data * other
+        out.audio_data = out.audio_data * self._coerce(other)
         return out
 
     __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        out = self.clone()
+        out.audio_data = out.audio_data / self._coerce(other)
+        return out
+
+    def __iadd__(self, other):
+        self.audio_data = self.audio_data + self._coerce(other)
+        return self
+
+    def __imul__(self, other):
+        self.audio_data = self.audio_data * self._coerce(other)
+        return self
+
+    def __len__(self):
+        return self.batch_size
+
+    def __eq__(self, other):
+        if not isinstance(other, AudioSignal):
+            return NotImplemented
+        return (self.sample_rate == other.sample_rate
+                and self.audio_data.shape == other.audio_data.shape
+                and bool(np.array_equal(self.audio_data, other.audio_data)))
+
+    __hash__ = None
+
+    def apply_codec(self, preset: str = "8-bit") -> "AudioSignal":
+        """Lossy-codec degradation simulation (effects.apply_codec)."""
+        from ezaudio_tpu.audio.effects import apply_codec as _ac
+
+        self.audio_data = _ac(self.audio_data, self.sample_rate, preset)
+        return self
 
     def __getitem__(self, idx) -> "AudioSignal":
         if isinstance(idx, int):

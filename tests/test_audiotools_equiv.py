@@ -396,3 +396,53 @@ class TestRound2Transforms:
         noisy = (tone + nz).astype(np.float32)[None, None, :]
         out = spectral_gate(noisy, sr, profile, denoise_amount=1.0)
         assert np.square(out).mean() > 0.25 * np.square(tone).mean()
+
+
+class TestSignalArithmeticAndCodec:
+    def _sig(self, v, sr=8000):
+        return AudioSignal(np.full(100, v, np.float32), sr)
+
+    def test_arithmetic_surface(self):
+        a, b = self._sig(0.5), self._sig(0.25)
+        assert np.allclose((a + b).audio_data, 0.75)
+        assert np.allclose((a - b).audio_data, 0.25)
+        assert np.allclose((-a).audio_data, -0.5)
+        assert np.allclose((a * 2).audio_data, 1.0)
+        assert np.allclose((2 * a).audio_data, 1.0)
+        assert np.allclose((a / b).audio_data, 2.0)
+        a2 = self._sig(0.5)
+        a2 += b
+        assert np.allclose(a2.audio_data, 0.75)
+        assert len(a) == 1
+        assert a == self._sig(0.5)
+        assert not (a == b)
+        # originals untouched by the out-of-place ops
+        assert np.allclose(a.audio_data, 0.5)
+
+    def test_apply_codec_presets(self):
+        from ezaudio_tpu.audio.effects import apply_codec
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.2 * np.sin(2 * np.pi * 6000 * t)).astype(np.float32)
+        gsm = apply_codec(x, sr, "GSM-FR")
+        assert gsm.shape == x.shape
+        # the 6 kHz component must be gone after the 3.4 kHz telephony chain
+        spec = np.abs(np.fft.rfft(gsm))
+        hi_bin = int(6000 / (sr / 2) * (spec.size - 1))
+        lo_bin = int(440 / (sr / 2) * (spec.size - 1))
+        assert spec[hi_bin - 3 : hi_bin + 3].max() < 0.05 * spec[lo_bin]
+        # 8-bit mu-law keeps shape but quantizes
+        eight = apply_codec(x, sr, "8-bit")
+        assert 0 < np.abs(eight - x).max() < 0.05
+        with np.testing.assert_raises(ValueError):
+            apply_codec(x, sr, "flac")
+
+    def test_signal_apply_codec_method(self):
+        sr = 8000
+        sig = AudioSignal(
+            np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32), sr)
+        before = sig.audio_data.copy()
+        out = sig.apply_codec("8-bit")
+        assert out is sig and not np.array_equal(sig.audio_data, before)
