@@ -189,13 +189,14 @@ class EzAudio:
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=32)
     def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta,
-                 use_gt: bool, guidance_interval=None, sampler: str = "ddim"):
+                 use_gt: bool, guidance_interval=None, sampler: str = "ddim",
+                 quant: Optional[str] = None):
         """Compile (and cache) the full denoising program for a signature."""
         schedule = self.noise_scheduler
         dit = self.dit
 
         @jax.jit
-        def run(dit_params, noise, ctx, cmask, gt, gt_mask, key):
+        def _run(dit_params, noise, ctx, cmask, gt, gt_mask, key):
             # ctx/cmask are the CFG-ordered batch [cond; uncond] (or just
             # cond when guidance is off).  With a guidance interval, non-CFG
             # segments call with the single batch — slicing ctx[:n] keeps
@@ -226,6 +227,15 @@ class EzAudio:
                 guidance_rescale=guidance_rescale, eta=eta,
                 guidance_interval=guidance_interval)
 
+        def run(*args):
+            # quant_context is trace-time state: the first call traces the
+            # program inside it (Linear layers pick the int8 MXU path,
+            # ops/quant.py); later calls hit the compiled cache.
+            from ezaudio_tpu.ops.quant import quant_context
+
+            with quant_context(quant):
+                return _run(*args)
+
         return run
 
     # ------------------------------------------------------------------
@@ -233,7 +243,7 @@ class EzAudio:
         self, texts: List[str], frames: int,
         guidance_scale, guidance_rescale, ddim_steps, eta, random_seed,
         gt=None, gt_mask=None, guidance_interval=None, sampler="ddim",
-        initial_latents=None,
+        initial_latents=None, quant=None,
     ):
         B = len(texts)
         if random_seed is None:
@@ -264,7 +274,7 @@ class EzAudio:
         run = self._sampler(int(ddim_steps), guidance_scale, guidance_rescale,
                             float(eta), use_gt,
                             tuple(guidance_interval) if guidance_interval else None,
-                            sampler)
+                            sampler, quant)
         latents = run(self.dit_params, noise, ctx, cmask, gt, gt_mask, k_steps)
         return latents
 
@@ -282,8 +292,12 @@ class EzAudio:
         guidance_interval: Optional[Tuple[float, float]] = None,
         sampler: str = "ddim",
         initial_latents=None,
+        quant: Optional[str] = None,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
+
+        ``quant='int8'``: dynamic W8A8 quantization of the DiT linear
+        layers — int8 MXU matmuls at ~2x the bf16 rate (ops/quant.py).
 
         ``initial_latents``: optional (B, frames, C) starting noise —
         overrides the seeded draw (reproducible/controlled generation).
@@ -310,7 +324,7 @@ class EzAudio:
         latents = self._generate_latents(
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
             random_seed, guidance_interval=guidance_interval, sampler=sampler,
-            initial_latents=initial_latents)
+            initial_latents=initial_latents, quant=quant)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # The x480 decoder inflates activations ~1000x vs the latent; decode
         # in sub-batches so large prompt batches never exhaust HBM.  Dispatch

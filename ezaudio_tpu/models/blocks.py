@@ -62,7 +62,7 @@ class Attention(nn.Module):
     rope_mode: str = "none"
     zero_proj: bool = False  # zero-init output proj (cross-attn, udit.py init)
     extras: int = 0  # prefix tokens excluded from RoPE in x_only/dual modes
-    attention_impl: str = "auto"  # auto | einsum | pallas
+    attention_impl: str = "auto"  # auto | einsum | pallas | flash | ring
     # Packing q/k/v into one (D, 3D) matmul measured 3% SLOWER end-to-end
     # (BASELINE.md: XLA re-materializes the weight concat inside the scan
     # rather than hoisting it); kept as an opt-in for future param-layout
@@ -153,7 +153,23 @@ class Attention(nn.Module):
             # the Pallas kernel stays available via attention_impl="pallas"
             # or EZAUDIO_ATTN_IMPL=pallas.
             impl = "einsum"
-        if impl == "pallas":
+        if impl == "ring" and not cross:
+            # Sequence-parallel exact attention: latent frames sharded over
+            # the mesh's sp axis, K/V blocks rotated around the ICI ring
+            # (parallel/ring_attention.py).  Requires an enclosing
+            # ring_context(mesh); cross-attention (short text kv) falls
+            # through to einsum below.
+            from ezaudio_tpu.parallel.ring_attention import (
+                current_ring_context, ring_attention)
+
+            rctx = current_ring_context()
+            assert rctx is not None, (
+                "attention_impl='ring' requires tracing inside "
+                "ring_context(mesh, ...)")
+            mesh, sp_axis, baxes = rctx
+            out = ring_attention(q, k, v, mesh, key_mask=context_mask,
+                                 scale=scale, axis=sp_axis, batch_axes=baxes)
+        elif impl == "pallas":
             from ezaudio_tpu.ops.pallas.attention import fused_attention
 
             out = fused_attention(q, k, v, key_mask=context_mask, scale=scale)
@@ -256,6 +272,7 @@ class DiTBlock(nn.Module):
     context_norm: bool = False
     use_checkpoint: bool = False
     extras: int = 0
+    attention_impl: str = "auto"  # auto | einsum | pallas | flash | ring
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -285,7 +302,8 @@ class DiTBlock(nn.Module):
         attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, qk_norm=self.qk_norm,
-            rope_mode=self.rope_mode, extras=self.extras, dtype=self.dtype,
+            rope_mode=self.rope_mode, extras=self.extras,
+            attention_impl=self.attention_impl, dtype=self.dtype,
             name="attn",
         )(h, context=None, context_mask=x_mask)
         x = x + ((1 - gate_msa) * attn_out if use_adanorm else attn_out)

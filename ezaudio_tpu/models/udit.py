@@ -60,6 +60,7 @@ class UDiT(nn.Module):
     use_conv: bool = True
     skip: bool = True
     skip_norm: bool = True
+    attention_impl: str = "auto"  # auto | einsum | pallas | flash | ring
     dtype: Any = jnp.float32
 
     @property
@@ -172,7 +173,8 @@ class UDiT(nn.Module):
                 ada_sola_rank=self.ada_sola_rank, ada_sola_alpha=self.ada_sola_alpha,
                 skip=with_skip, skip_norm=self.skip_norm and with_skip,
                 rope_mode=self.rope_mode, context_norm=self.context_norm,
-                extras=extras, dtype=self.dtype, name=name)
+                extras=extras, attention_impl=self.attention_impl,
+                dtype=self.dtype, name=name)
 
         half = self.depth // 2
         skips = []

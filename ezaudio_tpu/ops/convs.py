@@ -157,8 +157,18 @@ class Linear(nn.Module):
     def __call__(self, x):
         kinit = self.kernel_init or _torch_conv_kernel_init(self.in_features)
         kernel = self.param("kernel", kinit, (self.in_features, self.out_features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype)
+        from ezaudio_tpu.ops.quant import (
+            MIN_QUANT_ELEMENTS, current_quant_mode, int8_dot)
+
+        if (current_quant_mode() == "int8"
+                and self.in_features * self.out_features >= MIN_QUANT_ELEMENTS):
+            # W8A8 dynamic quantization (ops/quant.py): int8 MXU matmul at
+            # 2x the bf16 rate; weight quantization hoists out of the
+            # sampling scan.  Inference-only (round has zero gradient).
+            y = int8_dot(x, kernel).astype(self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=self.dtype)
         if self.use_bias:
             binit = self.bias_init or _torch_conv_kernel_init(self.in_features)
             b = self.param("bias", binit, (self.out_features,), jnp.float32)

@@ -11,9 +11,13 @@ Axes:
   * ``dp``   — batch (prompts, and the CFG pair at inference);
   * ``fsdp`` — optional parameter/optimizer sharding (ZeRO-style): each
     parameter's largest divisible axis is sharded, gathered on use by XLA;
-  * ``tp``   — reserved for tensor parallelism of the DiT (heads/mlp); the
-    EzAudio geometry (<=1B params) does not need it for parity, so the
-    default rules keep it unused.
+  * ``tp``   — Megatron-style tensor parallelism of the DiT (qkv/proj and
+    mlp in/out kernel splits, see ``dit_param_shardings``); the EzAudio
+    geometry (<=1B params) does not need it for parity, so defaults keep
+    it at 1;
+  * ``sp``   — sequence parallelism: latent frames sharded across chips,
+    attention runs as an exact K/V ring over ICI
+    (``parallel/ring_attention.py``) — the long-audio scaling axis.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``; the
 mesh spans all global devices in ICI-friendly order.
@@ -47,17 +51,21 @@ def make_mesh(
     dp: Optional[int] = None,
     fsdp: int = 1,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh.  ``dp=None`` -> all remaining devices."""
+    """Build a (dp, fsdp, tp, sp) mesh.  ``dp=None`` -> all remaining
+    devices.  ``sp`` is the sequence-parallel axis consumed by
+    :mod:`ezaudio_tpu.parallel.ring_attention`; it is innermost so the K/V
+    ring rides neighbouring ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, ("dp", "fsdp", "tp"))
+        assert n % (fsdp * tp * sp) == 0, (n, fsdp, tp, sp)
+        dp = n // (fsdp * tp * sp)
+    assert dp * fsdp * tp * sp == n, f"mesh {dp}x{fsdp}x{tp}x{sp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp, sp)
+    return Mesh(arr, ("dp", "fsdp", "tp", "sp"))
 
 
 def shard_batch(mesh: Mesh, tree, strict: bool = True):
