@@ -106,6 +106,9 @@ def main(argv=None):
     it.step = global_step % max(1, len(train_set) // batch_size)
     encode_key = jax.random.PRNGKey(args.random_seed + 1)
 
+    from ezaudio_tpu.training.trainer import PreemptionGuard
+
+    guard = PreemptionGuard().__enter__()
     for batch in it:
         # host->device: VAE encode + text encode (both jitted)
         latents = ez.autoencoder.encode(
@@ -135,12 +138,21 @@ def main(argv=None):
             t0 = time.time()
 
         if global_step % args.save_every_step == 0:
-            trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
+            # async: the write overlaps the next steps (trainer.py)
+            trainer.save_checkpoint(os.path.abspath(save_dir), global_step,
+                                    block=False)
+
+        if guard.preempted:
+            print(f"preemption signal: checkpointing at step {global_step} "
+                  "and exiting (auto-resume picks this up on restart)")
+            break
 
         if args.max_steps and global_step >= args.max_steps:
             break
 
+    guard.__exit__()
     trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
+    trainer.close()
     return trainer
 
 

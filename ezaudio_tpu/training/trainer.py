@@ -166,26 +166,115 @@ class Trainer:
         return metrics
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, ckpt_dir: str, step: Optional[int] = None):
+    def _manager(self, ckpt_dir: str):
+        """Persistent async CheckpointManager per directory: periodic saves
+        overlap training (orbax writes in a background thread) instead of
+        stalling the step loop like the reference's torch.save
+        (src/train.py:250)."""
         import orbax.checkpoint as ocp
 
+        if getattr(self, "_mngr_dir", None) != ckpt_dir:
+            self.close()
+            self._mngr = ocp.CheckpointManager(
+                ckpt_dir,
+                options=ocp.CheckpointManagerOptions(
+                    enable_async_checkpointing=True, max_to_keep=5))
+            self._mngr_dir = ckpt_dir
+        return self._mngr
+
+    def close(self):
+        """Flush and close any in-flight async checkpoint writer."""
+        mngr = getattr(self, "_mngr", None)
+        if mngr is not None:
+            mngr.wait_until_finished()
+            mngr.close()
+            self._mngr = None
+            self._mngr_dir = None
+
+    def save_checkpoint(self, ckpt_dir: str, step: Optional[int] = None,
+                        block: bool = True):
+        """Save params+optimizer+step.  ``block=False`` returns as soon as
+        the on-device arrays are snapshotted; the write completes in the
+        background (call ``close()`` or save again to join)."""
         step = int(step if step is not None else self.state.step)
-        with ocp.CheckpointManager(ckpt_dir) as mngr:
-            mngr.save(step, args=ocp.args.StandardSave(
-                {"params": self.state.params, "opt_state": self.state.opt_state,
-                 "step": self.state.step}))
+        mngr = self._manager(ckpt_dir)
+        mngr.save(step, args=_standard_save(
+            {"params": self.state.params, "opt_state": self.state.opt_state,
+             "step": self.state.step}))
+        if block:
             mngr.wait_until_finished()
 
     def restore_checkpoint(self, ckpt_dir: str, step: Optional[int] = None):
-        import orbax.checkpoint as ocp
-
-        with ocp.CheckpointManager(ckpt_dir) as mngr:
-            step = step if step is not None else mngr.latest_step()
-            target = {"params": self.state.params,
-                      "opt_state": self.state.opt_state,
-                      "step": self.state.step}
-            restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
+        mngr = self._manager(ckpt_dir)
+        mngr.wait_until_finished()  # join any in-flight async save first
+        step = step if step is not None else mngr.latest_step()
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        restored = mngr.restore(step, args=_standard_restore(target))
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"])
         return self
+
+
+def _standard_save(tree):
+    import orbax.checkpoint as ocp
+
+    return ocp.args.StandardSave(tree)
+
+
+def _standard_restore(target):
+    import orbax.checkpoint as ocp
+
+    return ocp.args.StandardRestore(target)
+
+
+class PreemptionGuard:
+    """Graceful-preemption handler: convert SIGTERM/SIGINT (the TPU-VM
+    preemption notice) into a flag the training loop checks at the next
+    step boundary, so the run checkpoints and exits cleanly instead of
+    dying mid-write.  Paired with the CLI's auto-resume-from-latest, this
+    gives preempt -> save -> restart -> resume with no lost optimizer
+    state.  (The reference has no preemption story — accelerate DDP simply
+    dies; audiotools/ml/accelerator.py.)
+
+    Usage::
+
+        with PreemptionGuard() as guard:
+            for batch in data:
+                train_step(batch)
+                if guard.preempted:
+                    trainer.save_checkpoint(dir, step)
+                    break
+
+    A second signal while handling the first falls back to the original
+    handler (a stuck loop can still be killed).
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = tuple(signals) if signals else (
+            _signal.SIGTERM, _signal.SIGINT)
+        self.preempted = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.preempted = True
+        # restore original handlers: a repeat signal kills as usual
+        for sig, prev in self._prev.items():
+            self._signal.signal(sig, prev)
+
+    def __enter__(self):
+        for sig in self.signals:
+            self._prev[sig] = self._signal.signal(sig, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for sig, prev in self._prev.items():
+            if self._signal.getsignal(sig) == self._handler:
+                self._signal.signal(sig, prev)
+        self._prev.clear()
+        return False
