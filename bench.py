@@ -38,6 +38,14 @@ def main():
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     length_s = 10.0
     model_name = os.environ.get("BENCH_MODEL", "s3_xl")
+    # optional acceleration knobs (BASELINE.md: quality-validated):
+    #   BENCH_LAYER_CACHE="2,2"  -> DiT layer caching (k, interval)
+    #   BENCH_QUANT=int8         -> dynamic W8A8 int8 linears
+    layer_cache = None
+    if os.environ.get("BENCH_LAYER_CACHE"):
+        layer_cache = tuple(
+            int(v) for v in os.environ["BENCH_LAYER_CACHE"].split(","))
+    quant = os.environ.get("BENCH_QUANT") or None
 
     from ezaudio_tpu.api.ezaudio import EzAudio
     from ezaudio_tpu.text.t5 import T5EncoderConfig
@@ -63,16 +71,16 @@ def main():
     ]
     prompts = (prompts * ((batch + 3) // 4))[:batch]
 
+    kw = dict(length=length_s, ddim_steps=ddim_steps, sampler=sampler,
+              quant=quant, layer_cache=layer_cache)
+
     # Warmup / compile
-    ez.generate_audio(prompts, length=length_s, ddim_steps=ddim_steps,
-                      random_seed=0, sampler=sampler)
+    ez.generate_audio(prompts, random_seed=0, **kw)
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        sr, wav = ez.generate_audio(prompts, length=length_s,
-                                    ddim_steps=ddim_steps, random_seed=i,
-                                    sampler=sampler)
+        sr, wav = ez.generate_audio(prompts, random_seed=i, **kw)
         times.append(time.perf_counter() - t0)
     elapsed = float(np.median(times))
 

@@ -33,7 +33,8 @@ from ezaudio_tpu.codecs.facade import AutoencoderFacade
 from ezaudio_tpu.codecs.oobleck import vae_from_config
 from ezaudio_tpu.config import ConfigDict, MODEL_REGISTRY, load_yaml_with_includes
 from ezaudio_tpu.diffusion.ddim import DDIMSchedule
-from ezaudio_tpu.diffusion.sampling import sample_latents
+from ezaudio_tpu.diffusion.sampling import (
+    sample_latents, sample_latents_layer_cached)
 from ezaudio_tpu.models.maskdit import maskdit_from_config
 from ezaudio_tpu.text.t5 import T5Encoder, T5EncoderConfig, convert_t5_encoder_state_dict
 from ezaudio_tpu.text.tokenizer import get_tokenizer
@@ -190,7 +191,7 @@ class EzAudio:
     @functools.lru_cache(maxsize=32)
     def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta,
                  use_gt: bool, guidance_interval=None, sampler: str = "ddim",
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, layer_cache=None):
         """Compile (and cache) the full denoising program for a signature."""
         schedule = self.noise_scheduler
         dit = self.dit
@@ -201,7 +202,7 @@ class EzAudio:
             # cond when guidance is off).  With a guidance interval, non-CFG
             # segments call with the single batch — slicing ctx[:n] keeps
             # the cond half (cond-first ordering).
-            def model_fn(lat, t):
+            def _apply(lat, t, **kw):
                 n = lat.shape[0]
                 if use_gt:
                     r = n // gt.shape[0]
@@ -211,8 +212,26 @@ class EzAudio:
                     gt_b, gm_b = None, None
                 out, _ = dit.apply(
                     dit_params, lat, t, ctx[:n], context_mask=cmask[:n],
-                    gt=gt_b, mae_mask_infer=gm_b)
+                    gt=gt_b, mae_mask_infer=gm_b, **kw)
                 return out
+
+            def model_fn(lat, t):
+                return _apply(lat, t)
+
+            if layer_cache is not None:
+                # training-free DiT layer caching (udit.py deep_cache):
+                # full-depth every `interval`-th step, shallow re-compute
+                # otherwise
+                assert sampler == "ddim" and guidance_interval is None, (
+                    "layer_cache composes with the plain DDIM path")
+                k, interval = layer_cache
+                return sample_latents_layer_cached(
+                    lambda lat, t: _apply(lat, t, collect_deep_k=int(k)),
+                    lambda lat, t, deep: _apply(lat, t, deep_cache=(int(k), deep)),
+                    schedule, noise, key, steps,
+                    cache_interval=int(interval),
+                    guidance_scale=guidance_scale,
+                    guidance_rescale=guidance_rescale, eta=eta)
 
             if sampler == "dpm":
                 from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
@@ -243,7 +262,7 @@ class EzAudio:
         self, texts: List[str], frames: int,
         guidance_scale, guidance_rescale, ddim_steps, eta, random_seed,
         gt=None, gt_mask=None, guidance_interval=None, sampler="ddim",
-        initial_latents=None, quant=None,
+        initial_latents=None, quant=None, layer_cache=None,
     ):
         B = len(texts)
         if random_seed is None:
@@ -274,7 +293,8 @@ class EzAudio:
         run = self._sampler(int(ddim_steps), guidance_scale, guidance_rescale,
                             float(eta), use_gt,
                             tuple(guidance_interval) if guidance_interval else None,
-                            sampler, quant)
+                            sampler, quant,
+                            tuple(layer_cache) if layer_cache else None)
         latents = run(self.dit_params, noise, ctx, cmask, gt, gt_mask, k_steps)
         return latents
 
@@ -293,11 +313,17 @@ class EzAudio:
         sampler: str = "ddim",
         initial_latents=None,
         quant: Optional[str] = None,
+        layer_cache: Optional[Tuple[int, int]] = None,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
 
         ``quant='int8'``: dynamic W8A8 quantization of the DiT linear
         layers — int8 MXU matmuls at ~2x the bf16 rate (ops/quant.py).
+
+        ``layer_cache=(k, interval)``: training-free DiT layer caching —
+        every ``interval``-th step runs the full depth and caches the deep
+        U-stack activation; the other steps recompute only the k shallow
+        in-blocks + k final out-blocks around it (udit.py ``deep_cache``).
 
         ``initial_latents``: optional (B, frames, C) starting noise —
         overrides the seeded draw (reproducible/controlled generation).
@@ -324,7 +350,8 @@ class EzAudio:
         latents = self._generate_latents(
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
             random_seed, guidance_interval=guidance_interval, sampler=sampler,
-            initial_latents=initial_latents, quant=quant)
+            initial_latents=initial_latents, quant=quant,
+            layer_cache=layer_cache)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # The x480 decoder inflates activations ~1000x vs the latent; decode
         # in sub-batches so large prompt batches never exhaust HBM.  Dispatch

@@ -124,3 +124,85 @@ def sample_latents(
     latents, _ = jax.lax.scan(
         body_for(guidance_scale is not None), noise, jnp.arange(num_steps))
     return latents
+
+
+def sample_latents_layer_cached(
+    model_full: Callable,
+    model_cached: Callable,
+    schedule: DDIMSchedule,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    num_steps: int,
+    cache_interval: int = 2,
+    guidance_scale: Optional[float] = None,
+    guidance_rescale: float = 0.0,
+    eta: float = 1.0,
+) -> jnp.ndarray:
+    """DDIM loop with cross-step DiT layer caching (training-free
+    acceleration: deep U-stack features drift slowly between adjacent
+    timesteps, so only every ``cache_interval``-th step runs the full
+    depth; the others recompute shallow layers around a cached deep
+    activation — see udit.py ``collect_deep_k``/``deep_cache``).
+
+    ``model_full(latents, t) -> (model_output, deep)`` refreshes the cache;
+    ``model_cached(latents, t, deep) -> model_output`` consumes it.  Both
+    receive the CFG pair batch when ``guidance_scale`` is set, exactly like
+    :func:`sample_latents`.
+
+    TPU design: the scan runs over step *groups*; each group body unrolls
+    one full step plus ``cache_interval - 1`` cached steps, so the deep
+    cache is a scan-local value (never a carry) and the whole loop is one
+    XLA while-loop with a static body.  ``cache_interval=1`` degenerates to
+    the plain sampler (bit-identical — tested).
+    """
+    assert cache_interval >= 1
+    a_t_np, a_prev_np, ts_np = schedule.step_tables(num_steps)
+    a_t = jnp.asarray(a_t_np)
+    a_prev = jnp.asarray(a_prev_np)
+    ts = jnp.asarray(ts_np)
+    use_cfg = guidance_scale is not None
+
+    def predict(latents, t, deep):
+        """One model call (+CFG); deep=None -> full call, returns new deep."""
+        batch = jnp.concatenate([latents, latents], axis=0) if use_cfg else latents
+        if deep is None:
+            out, new_deep = model_full(batch, t)
+        else:
+            out, new_deep = model_cached(batch, t, deep), deep
+        if use_cfg:
+            cond, uncond = jnp.split(out, 2, axis=0)
+            pred = uncond + guidance_scale * (cond - uncond)
+            if guidance_rescale > 0.0:
+                pred = rescale_noise_cfg(pred, cond, guidance_rescale)
+        else:
+            pred = out
+        return pred, new_deep
+
+    def ddim_update(latents, pred, i):
+        step_noise = None
+        if eta > 0:
+            step_noise = jax.random.normal(
+                jax.random.fold_in(key, i), latents.shape, latents.dtype)
+        new = schedule.ddim_step(pred, latents, a_t[i], a_prev[i], eta=eta,
+                                 noise=step_noise)
+        return new.astype(latents.dtype)
+
+    groups = num_steps // cache_interval
+
+    def group_body(latents, g):
+        i0 = g * cache_interval
+        pred, deep = predict(latents, ts[i0], None)
+        latents = ddim_update(latents, pred, i0)
+        for j in range(1, cache_interval):
+            pred, _ = predict(latents, ts[i0 + j], deep)
+            latents = ddim_update(latents, pred, i0 + j)
+        return latents, None
+
+    latents = noise
+    if groups > 0:
+        latents, _ = jax.lax.scan(group_body, latents, jnp.arange(groups))
+    # remainder steps (num_steps not divisible by the interval): full calls
+    for i in range(groups * cache_interval, num_steps):
+        pred, _ = predict(latents, ts[i], None)
+        latents = ddim_update(latents, pred, i)
+    return latents

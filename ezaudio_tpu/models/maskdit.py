@@ -63,8 +63,14 @@ class MaskDiT(nn.Module):
         forward_model: bool = True,
         train: bool = False,
         controlnet_skips: Optional[Sequence[jnp.ndarray]] = None,
+        collect_deep_k: Optional[int] = None,
+        deep_cache: Optional[Tuple[int, jnp.ndarray]] = None,
     ):
-        """Returns (output, mae_mask) with mae_mask float (B, L, C)."""
+        """Returns (output, mae_mask) with mae_mask float (B, L, C).
+
+        ``collect_deep_k`` / ``deep_cache`` forward to UDiT's cross-step
+        layer caching (see udit.py): with ``collect_deep_k`` the output
+        slot is the tuple ``(out, deep)``."""
         B, L, C = x.shape
         mae_mask = jnp.ones_like(x)
 
@@ -104,6 +110,7 @@ class MaskDiT(nn.Module):
             x=x, timesteps=timesteps, context=context, x_mask=x_mask,
             context_mask=context_mask, cls_token=cls_token,
             controlnet_skips=controlnet_skips,
+            collect_deep_k=collect_deep_k, deep_cache=deep_cache,
         )
         return out, mae_mask
 

@@ -20,7 +20,7 @@ time).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -78,9 +78,29 @@ class UDiT(nn.Module):
     @nn.compact
     def __call__(self, x, timesteps, context=None, x_mask=None,
                  context_mask=None, cls_token=None,
-                 controlnet_skips: Optional[Sequence[jnp.ndarray]] = None):
+                 controlnet_skips: Optional[Sequence[jnp.ndarray]] = None,
+                 collect_deep_k: Optional[int] = None,
+                 deep_cache: Optional[Tuple[int, jnp.ndarray]] = None):
         """x: (B, T, in_chans) [1d] or (B, H, W, in_chans) [2d];
-        timesteps: (B,) or scalar; context: (B, Lc, ctx_dim)."""
+        timesteps: (B,) or scalar; context: (B, Lc, ctx_dim).
+
+        Cross-step layer caching (training-free DiT acceleration — the
+        deep U-stack features drift slowly across adjacent diffusion
+        timesteps, so cached steps recompute only the shallow layers):
+
+          * ``collect_deep_k=k``: full forward that ALSO returns the deep
+            activation entering ``out_blocks_{half-k}`` (i.e. after
+            ``out_blocks_{half-k-1}``) — returns ``(out, deep)``;
+          * ``deep_cache=(k, deep)``: cached forward — run
+            ``in_blocks_0..k-1`` (fresh skips), substitute ``deep`` for the
+            whole ``in_k..mid..out_{half-k-1}`` middle, run
+            ``out_blocks_{half-k}..{half-1}`` + FinalBlock.  Embeddings,
+            shallow blocks and the final head are always fresh.
+
+        The split is exact at the collection timestep (cached forward with
+        the just-collected deep reproduces the full forward bit-for-bit)
+        and an approximation at neighbouring timesteps.
+        """
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
 
@@ -177,25 +197,45 @@ class UDiT(nn.Module):
                 dtype=self.dtype, name=name)
 
         half = self.depth // 2
+        cache_k = None
+        if deep_cache is not None:
+            assert collect_deep_k is None and controlnet_skips is None
+            cache_k, deep_x = deep_cache
+            assert 1 <= cache_k < half, (cache_k, half)
+        if collect_deep_k is not None:
+            assert 1 <= collect_deep_k < half, (collect_deep_k, half)
+
         skips = []
-        for i in range(half):
+        n_in = cache_k if cache_k is not None else half
+        for i in range(n_in):
             x = run(make(i, False, f"in_blocks_{i}"), x)
             if self.skip:
                 skips.append(x)
 
-        x = run(make(half, False, "mid_block"), x)
+        deep_out = None
+        if cache_k is None:
+            x = run(make(half, False, "mid_block"), x)
 
-        cn = list(controlnet_skips) if controlnet_skips is not None else None
-        for i in range(half):
-            if self.skip:
-                skip = skips.pop()
-                if cn:
-                    skip = skip + cn.pop()
-            else:
-                skip = None
-                if cn:
-                    x = x + cn.pop()
-            x = run(make(i, self.skip, f"out_blocks_{i}"), x, skip)
+            cn = list(controlnet_skips) if controlnet_skips is not None else None
+            for i in range(half):
+                if self.skip:
+                    skip = skips.pop()
+                    if cn:
+                        skip = skip + cn.pop()
+                else:
+                    skip = None
+                    if cn:
+                        x = x + cn.pop()
+                x = run(make(i, self.skip, f"out_blocks_{i}"), x, skip)
+                if collect_deep_k is not None and i == half - collect_deep_k - 1:
+                    deep_out = x
+        else:
+            # cached step: substitute the deep activation, refresh only the
+            # last cache_k out-blocks (their skips pair with in_0..k-1)
+            x = deep_x.astype(x.dtype)
+            for i in range(half - cache_k, half):
+                skip = skips.pop() if self.skip else None
+                x = run(make(i, self.skip, f"out_blocks_{i}"), x, skip)
 
         out_chans = self.out_chans if self.out_chans is not None else self.in_chans
         x = FinalBlock(embed_dim=self.embed_dim, patch_size=self.patch_size,
@@ -205,4 +245,6 @@ class UDiT(nn.Module):
                        img_size=self.img_size if self.input_type == "2d" else None,
                        dtype=self.dtype, name="final_block")(
             x, time_ada=time_ada_final, extras=extras)
+        if collect_deep_k is not None:
+            return x, deep_out
         return x

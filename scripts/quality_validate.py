@@ -61,7 +61,8 @@ def main():
     train_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     from ezaudio_tpu.diffusion.ddim import DDIMSchedule
     from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
-    from ezaudio_tpu.diffusion.sampling import sample_latents
+    from ezaudio_tpu.diffusion.sampling import (
+        sample_latents, sample_latents_layer_cached)
     from ezaudio_tpu.models.maskdit import maskdit_from_config
     from ezaudio_tpu.training.optim import make_optimizer
     from ezaudio_tpu.training.trainer import TrainState, make_train_step
@@ -142,12 +143,43 @@ def main():
             model_fn, schedule, noise, 10, guidance_scale=guidance),
         "DDIM-100 + interval(100,900)": lambda: run_ddim(100, (100, 900)),
         "DDIM-100 + interval(300,800)": lambda: run_ddim(100, (300, 800)),
+        # int8 quality: EVERY linear quantized (threshold dropped to 0 —
+        # harsher than the production setting, which skips small layers)
+        "DDIM-100 int8 (all linears)": lambda: run_ddim(100),
     }
+
+    # layer caching: tiny model depth 4 -> half=2, k=1
+    def model_full_lc(latents, t):
+        n = latents.shape[0]
+        (out, deep), _ = model.apply(p, latents, t, ctx[:n],
+                                     collect_deep_k=1)
+        return out, deep
+
+    def model_cached_lc(latents, t, deep):
+        n = latents.shape[0]
+        out, _ = model.apply(p, latents, t, ctx[:n], deep_cache=(1, deep))
+        return out
+
+    for m in (2, 4):
+        configs[f"DDIM-100 + layer_cache(k=1,m={m})"] = (
+            lambda m=m: sample_latents_layer_cached(
+                model_full_lc, model_cached_lc, schedule, noise,
+                jax.random.PRNGKey(8), 100, cache_interval=m,
+                guidance_scale=guidance))
+
+    import ezaudio_tpu.ops.quant as quant_mod
+    from ezaudio_tpu.ops.quant import quant_context
 
     print("\n| sampler | FAD (latent feats) vs data | cond. class acc |")
     print("|---|---|---|")
     for name, fn in configs.items():
-        out = np.asarray(jax.jit(lambda: fn())())
+        if "int8" in name:
+            prev_thresh, quant_mod.MIN_QUANT_ELEMENTS = quant_mod.MIN_QUANT_ELEMENTS, 0
+            with quant_context("int8"):
+                out = np.asarray(jax.jit(lambda: fn())())
+            quant_mod.MIN_QUANT_ELEMENTS = prev_thresh
+        else:
+            out = np.asarray(jax.jit(lambda: fn())())
         fad = frechet_audio_distance(features(out), feats_ref)
         # conditional fidelity: dominant latent frequency -> class
         spec = np.abs(np.fft.rfft(out.mean(-1), axis=1))
