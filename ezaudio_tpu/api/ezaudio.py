@@ -221,14 +221,26 @@ class EzAudio:
             if layer_cache is not None:
                 # training-free DiT layer caching (udit.py deep_cache):
                 # full-depth every `interval`-th step, shallow re-compute
-                # otherwise
-                assert sampler == "ddim" and guidance_interval is None, (
-                    "layer_cache composes with the plain DDIM path")
+                # otherwise; composes with DDIM and DPM-Solver (fewer
+                # steps x cheaper steps)
+                assert guidance_interval is None, (
+                    "layer_cache does not compose with guidance_interval")
                 k, interval = layer_cache
+                model_full = lambda lat, t: _apply(  # noqa: E731
+                    lat, t, collect_deep_k=int(k))
+                model_cached = lambda lat, t, deep: _apply(  # noqa: E731
+                    lat, t, deep_cache=(int(k), deep))
+                if sampler == "dpm":
+                    from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
+
+                    return dpm_solver_sample(
+                        model_fn, schedule, noise, steps,
+                        guidance_scale=guidance_scale,
+                        guidance_rescale=guidance_rescale,
+                        layer_cache_fns=(model_full, model_cached),
+                        cache_interval=int(interval))
                 return sample_latents_layer_cached(
-                    lambda lat, t: _apply(lat, t, collect_deep_k=int(k)),
-                    lambda lat, t, deep: _apply(lat, t, deep_cache=(int(k), deep)),
-                    schedule, noise, key, steps,
+                    model_full, model_cached, schedule, noise, key, steps,
                     cache_interval=int(interval),
                     guidance_scale=guidance_scale,
                     guidance_rescale=guidance_rescale, eta=eta)

@@ -68,10 +68,19 @@ def dpm_solver_sample(
     num_steps: int,
     guidance_scale: Optional[float] = None,
     guidance_rescale: float = 0.0,
+    layer_cache_fns: Optional[tuple] = None,
+    cache_interval: int = 1,
 ) -> jnp.ndarray:
     """Deterministic DPM-Solver++(2M) sampling (the eta=0 regime).
 
     ``model_fn`` has the same contract as ``sample_latents``.
+
+    ``layer_cache_fns=(model_full, model_cached)`` composes DiT layer
+    caching with the few-step solver (fewer steps x cheaper steps): every
+    ``cache_interval``-th step calls ``model_full(x, t) -> (out, deep)``,
+    the others ``model_cached(x, t, deep) -> out`` — same contract as
+    :func:`ezaudio_tpu.diffusion.sampling.sample_latents_layer_cached`,
+    same group-unrolled scan so the cache never enters the carry.
     """
     from ezaudio_tpu.diffusion.sampling import rescale_noise_cfg
 
@@ -82,31 +91,64 @@ def dpm_solver_sample(
     coeff = jnp.asarray(coeff)
     inv2r = jnp.asarray(inv2r)
 
-    def predict_x0(x, i):
+    use_cache = layer_cache_fns is not None and cache_interval > 1
+    if use_cache:
+        model_full, model_cached = layer_cache_fns
+
+    def predict_x0(x, i, deep=None):
         t = ts[i]
+        batch = (jnp.concatenate([x, x], axis=0)
+                 if guidance_scale is not None else x)
+        if use_cache:
+            if deep is None:
+                out, new_deep = model_full(batch, t)
+            else:
+                out, new_deep = model_cached(batch, t, deep), deep
+        else:
+            out, new_deep = model_fn(batch, t), None
         if guidance_scale is not None:
-            pair = jnp.concatenate([x, x], axis=0)
-            out = model_fn(pair, t)
             cond, uncond = jnp.split(out, 2, axis=0)
             pred = uncond + guidance_scale * (cond - uncond)
             if guidance_rescale > 0.0:
                 pred = rescale_noise_cfg(pred, cond, guidance_rescale)
         else:
-            pred = model_fn(x, t)
+            pred = out
         x0, _ = schedule.convert_output(pred, x, abar[i])
-        return x0
+        return x0, new_deep
 
-    def body(carry, i):
+    def update(carry, i, x0):
         x, x0_prev, has_prev = carry
-        x0 = predict_x0(x, i)
         # 2M combination (first step: plain x0)
         w = inv2r[i] * has_prev
         D = (1.0 + w) * x0 - w * x0_prev
         x_next = s_ratio[i] * x + coeff[i] * D
         # keep carry dtypes stable under bf16 compute (f32 tables promote)
-        return (x_next.astype(x.dtype), x0.astype(x.dtype),
-                jnp.float32(1.0)), None
+        return (x_next.astype(x.dtype), x0.astype(x.dtype), jnp.float32(1.0))
 
-    init = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
-    (x, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
-    return x
+    if not use_cache:
+        def body(carry, i):
+            x0, _ = predict_x0(carry[0], i)
+            return update(carry, i, x0), None
+
+        init = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
+        (x, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+        return x
+
+    groups = num_steps // cache_interval
+
+    def group_body(carry, g):
+        i0 = g * cache_interval
+        x0, deep = predict_x0(carry[0], i0, None)
+        carry = update(carry, i0, x0)
+        for j in range(1, cache_interval):
+            x0, _ = predict_x0(carry[0], i0 + j, deep)
+            carry = update(carry, i0 + j, x0)
+        return carry, None
+
+    carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
+    if groups > 0:
+        carry, _ = jax.lax.scan(group_body, carry, jnp.arange(groups))
+    for i in range(groups * cache_interval, num_steps):
+        x0, _ = predict_x0(carry[0], i, None)
+        carry = update(carry, i, x0)
+    return carry[0]

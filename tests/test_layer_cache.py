@@ -156,6 +156,42 @@ class TestCachedSampler:
         assert np.isfinite(got).all()
 
 
+class TestDPMLayerCache:
+    def test_cache_fns_interval_1_matches_plain_dpm(self, setup):
+        from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
+
+        model, params, x, ctx = setup
+        full, cached, plain = TestCachedSampler._fns(
+            TestCachedSampler(), setup)
+        schedule = DDIMSchedule.from_config(DIFF)
+        noise = jax.random.normal(jax.random.PRNGKey(8), x.shape)
+        ref = jax.jit(lambda: dpm_solver_sample(
+            plain, schedule, noise, 8, guidance_scale=3.0))()
+        # cache_interval=1 disables caching entirely (plain scan path)
+        got = jax.jit(lambda: dpm_solver_sample(
+            plain, schedule, noise, 8, guidance_scale=3.0,
+            layer_cache_fns=(full, cached), cache_interval=1))()
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_dpm_interval_2_close_and_finite(self, setup):
+        from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
+
+        model, params, x, ctx = setup
+        full, cached, plain = TestCachedSampler._fns(
+            TestCachedSampler(), setup)
+        schedule = DDIMSchedule.from_config(DIFF)
+        noise = jax.random.normal(jax.random.PRNGKey(9), x.shape)
+        ref = np.asarray(jax.jit(lambda: dpm_solver_sample(
+            plain, schedule, noise, 8, guidance_scale=3.0))())
+        got = np.asarray(jax.jit(lambda: dpm_solver_sample(
+            plain, schedule, noise, 8, guidance_scale=3.0,
+            layer_cache_fns=(full, cached), cache_interval=2))())
+        assert np.isfinite(got).all()
+        assert np.abs(got - ref).max() > 0
+        c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+        assert c > 0.95, c
+
+
 class TestAPILayerCache:
     def test_generate_with_layer_cache(self):
         from tests.tiny_config import make_tiny_ezaudio
@@ -171,4 +207,18 @@ class TestAPILayerCache:
         assert np.isfinite(w_lc2).all()
         assert np.abs(w_lc2 - w_ref).max() > 0
         c = np.corrcoef(w_ref, w_lc2)[0, 1]
+        assert c > 0.9, c
+
+    def test_generate_dpm_with_layer_cache(self):
+        from tests.tiny_config import make_tiny_ezaudio
+
+        ez = make_tiny_ezaudio()
+        _, w_ref = ez.generate_audio("rain", length=2, ddim_steps=6,
+                                     random_seed=9, sampler="dpm")
+        _, w_lc = ez.generate_audio("rain", length=2, ddim_steps=6,
+                                    random_seed=9, sampler="dpm",
+                                    layer_cache=(1, 2))
+        assert np.isfinite(w_lc).all()
+        assert np.abs(w_lc - w_ref).max() > 0
+        c = np.corrcoef(w_ref, w_lc)[0, 1]
         assert c > 0.9, c

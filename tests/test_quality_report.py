@@ -37,6 +37,50 @@ class TestSTOI:
             visqol()
 
 
+class TestNSIM:
+    """Native NSIM (the ViSQOL similarity core over gammatone neurograms,
+    audio/quality.py::visqol_nsim); exact-MOS ViSQOL stays gated (Google's
+    SVR weights only ship with the binary)."""
+
+    def _signal(self, sr=16000, secs=3):
+        t = np.arange(secs * sr) / sr
+        return (np.sin(2 * np.pi * 330 * t)
+                * (0.6 + 0.4 * np.sin(2 * np.pi * 2 * t))
+                + 0.2 * np.sin(2 * np.pi * 1200 * t))
+
+    def test_identity_is_one(self):
+        from ezaudio_tpu.audio.quality import visqol_nsim
+
+        x = self._signal()
+        r = visqol_nsim(x, x, 16000)
+        assert r["nsim"] > 0.999
+        assert r["mos"] > 4.5
+
+    def test_monotone_in_snr(self):
+        from ezaudio_tpu.audio.quality import visqol_nsim
+
+        rng = np.random.default_rng(0)
+        x = self._signal()
+        scores = []
+        for snr in (40, 20, 10, 0):
+            nz = rng.standard_normal(x.size)
+            nz *= np.sqrt((x ** 2).mean() / (nz ** 2).mean()) * 10 ** (-snr / 20)
+            scores.append(visqol_nsim(x + nz, x, 16000)["nsim"])
+        assert all(a > b for a, b in zip(scores, scores[1:])), scores
+        assert scores[0] > 0.95 and scores[-1] < 0.9, scores
+
+    def test_spectral_distortion_detected(self):
+        from ezaudio_tpu.audio.quality import visqol_nsim
+
+        sr = 16000
+        x = self._signal(sr)
+        # lowpass via moving average: removes the 1200 Hz partial
+        k = 16
+        y = np.convolve(x, np.ones(k) / k, mode="same")
+        r = visqol_nsim(y, x, sr)
+        assert r["nsim"] < 0.95
+
+
 class TestPESQ:
     """Native P.862-structured PESQ (audio/quality.py): identity scores
     ~4.5, monotone in SNR, invariant to small delays and level changes."""

@@ -125,6 +125,57 @@ class TestModuleRingImpl:
         np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_e),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_long_audio_sampling_ring_equals_einsum(self):
+        """The sp story end-to-end: sample latents 4x LONGER than the
+        training img_size (RoPE length extension) with the sequence
+        sharded over sp=4 and ring attention — the result matches the
+        unsharded einsum sampler.  This is the single-pass long-audio
+        path that chained outpainting approximates in the reference."""
+        from tests.tiny_config import TINY_CONFIG
+        from ezaudio_tpu.diffusion.ddim import DDIMSchedule
+        from ezaudio_tpu.diffusion.sampling import sample_latents
+        from ezaudio_tpu.models.maskdit import maskdit_from_config
+
+        mesh = _mesh(2, 4)
+        cfg = dict(TINY_CONFIG["model"])
+        L = 4 * cfg["img_size"]  # 400 latent frames vs 100 trained
+        C, Dc = cfg["out_chans"], cfg["context_dim"]
+        key = jax.random.PRNGKey(11)
+
+        m_e = maskdit_from_config(cfg)
+        m_r = maskdit_from_config(dict(cfg, attention_impl="ring"))
+        params = m_e.init({"params": key, "mask": key},
+                          jnp.zeros((1, cfg["img_size"], C)),
+                          jnp.zeros((1,), jnp.int32),
+                          jnp.zeros((1, 1, Dc)))
+        ctx = jax.random.normal(key, (2, 6, Dc))
+        noise = jax.random.normal(jax.random.PRNGKey(12), (2, L, C))
+
+        diff = dict(num_train_timesteps=1000, beta_schedule="scaled_linear",
+                    beta_start=0.00085, beta_end=0.012,
+                    prediction_type="v_prediction",
+                    rescale_betas_zero_snr=True,
+                    timestep_spacing="trailing", clip_sample=False)
+        schedule = DDIMSchedule.from_config(diff)
+
+        def fn_for(model):
+            def model_fn(lat, t):
+                c = jnp.concatenate([ctx] * (lat.shape[0] // 2), axis=0)
+                out, _ = model.apply(params, lat, t, c)
+                return out
+            return model_fn
+
+        skey = jax.random.PRNGKey(13)
+        ref = np.asarray(jax.jit(lambda n: sample_latents(
+            fn_for(m_e), schedule, n, skey, 2, guidance_scale=3.0,
+            eta=0.0))(noise))
+        with ring_context(mesh, batch_axes=("dp",)):
+            got = np.asarray(jax.jit(lambda n: sample_latents(
+                fn_for(m_r), schedule, n, skey, 2, guidance_scale=3.0,
+                eta=0.0))(noise))
+        assert got.shape == (2, L, C)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
     def test_ring_without_context_raises(self):
         from ezaudio_tpu.models.blocks import Attention
 
