@@ -80,14 +80,15 @@ class EzAudioControlNet:
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=16)
     def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta,
-                 conditioning_scale: float, sampler: str = "ddim"):
+                 conditioning_scale: float, sampler: str = "ddim",
+                 quant=None):
         base = self.base
         dit: MaskDiT = base.dit
         cn = self.controlnet
         schedule = base.noise_scheduler
 
         @jax.jit
-        def run(dit_params, cn_params, noise, ctx, cmask, condition, key):
+        def _run(dit_params, cn_params, noise, ctx, cmask, condition, key):
             def model_fn(lat, t):
                 n = lat.shape[0] // condition.shape[0]
                 cond_b = jnp.concatenate([condition] * n, axis=0)
@@ -111,6 +112,13 @@ class EzAudioControlNet:
                                   guidance_scale=guidance_scale,
                                   guidance_rescale=guidance_rescale, eta=eta)
 
+        def run(*args):
+            # trace-time int8 opt-in, same mechanism as EzAudio._sampler
+            from ezaudio_tpu.ops.quant import quant_context
+
+            with quant_context(quant):
+                return _run(*args)
+
         return run
 
     # ------------------------------------------------------------------
@@ -127,6 +135,7 @@ class EzAudioControlNet:
         random_seed: Optional[int] = None,
         randomize_seed: bool = False,
         sampler: str = "ddim",
+        quant: Optional[str] = None,
     ) -> Tuple[int, np.ndarray]:
         base = self.base
         sr = base.sr
@@ -168,7 +177,7 @@ class EzAudioControlNet:
                                   self.dtype)
         run = self._sampler(int(ddim_steps), guidance_scale,
                             float(guidance_rescale), float(eta),
-                            float(conditioning_scale), sampler)
+                            float(conditioning_scale), sampler, quant)
         latents = run(base.dit_params, self.cn_params, noise, ctx, cmask,
                       jnp.asarray(condition, self.dtype), k_steps)
         pred = scale_shift_re(latents, base.scale, base.shift)

@@ -124,3 +124,26 @@ class TestControlNetEndToEnd:
         assert sr == TINY_SR
         assert wav.shape == ref.shape
         assert np.isfinite(wav).all()
+
+    def test_generate_with_int8_quant(self, monkeypatch):
+        """ControlNet path under quant='int8' (threshold lowered so the
+        tiny linears quantize): finite and close to the float output."""
+        import ezaudio_tpu.ops.quant as quant_mod
+        from ezaudio_tpu.api.controlnet import EzAudioControlNet
+        from tests.tiny_config import TINY_CONFIG, TINY_T5, TINY_SR, TINY_VAE_CONFIG
+
+        cfg = dict(TINY_CONFIG)
+        cfg["controlnet"] = dict(cond_in=1, cond_blocks=[8, 16], cond_mask=True,
+                                 cond_mask_prob=0.25, cond_mask_ratio=[0.25, 0.5],
+                                 cond_mask_span=4)
+        cfg["conditioner"] = dict(condition_type="energy", hop_size=8,
+                                  window_size=64, padding="reflect",
+                                  min_db=-60, norm=True)
+        ez = EzAudioControlNet(config=cfg, t5_config=TINY_T5,
+                               vae_config=TINY_VAE_CONFIG)
+        ref = (0.5 * np.sin(2 * np.pi * 55 * np.arange(2 * TINY_SR) / TINY_SR)).astype(np.float32)
+        _, w_f = ez.generate_audio("a tone", ref, ddim_steps=3, random_seed=1)
+        monkeypatch.setattr(quant_mod, "MIN_QUANT_ELEMENTS", 64 * 64)
+        _, w_q = ez.generate_audio("a tone", ref, ddim_steps=4, random_seed=1,
+                                   quant="int8")
+        assert np.isfinite(w_q).all()
