@@ -389,6 +389,8 @@ class EzAudio:
         ddim_steps: int = 100,
         eta: float = 1,
         random_seed: Optional[int] = None,
+        quant: Optional[str] = None,
+        layer_cache: Optional[Tuple[int, int]] = None,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio longer than the training window by chained
         outpainting: generate the first ``window`` seconds, then repeatedly
@@ -402,7 +404,8 @@ class EzAudio:
         _, audio = self.generate_audio(
             text, length=min(window, length),
             guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
-            ddim_steps=ddim_steps, eta=eta, random_seed=random_seed)
+            ddim_steps=ddim_steps, eta=eta, random_seed=random_seed,
+            quant=quant, layer_cache=layer_cache)
         step = 0
         while len(audio) < int(length * sr):
             step += 1
@@ -413,7 +416,8 @@ class EzAudio:
                 mask_start=cur_s, mask_length=ext,
                 guidance_scale=guidance_scale,
                 guidance_rescale=guidance_rescale, ddim_steps=ddim_steps,
-                eta=eta, random_seed=random_seed + step)
+                eta=eta, random_seed=random_seed + step,
+                quant=quant, layer_cache=layer_cache)
         return sr, audio[: int(length * sr)]
 
     # ------------------------------------------------------------------
@@ -430,6 +434,8 @@ class EzAudio:
         eta: float = 1,
         random_seed: Optional[int] = None,
         randomize_seed: bool = False,
+        quant: Optional[str] = None,
+        layer_cache: Optional[Tuple[int, int]] = None,
     ) -> Tuple[int, np.ndarray]:
         """Mask-based editing: regenerate ``[mask_start, mask_start+mask_length)``
         seconds of ``gt_file``, with ``boundary`` seconds of context on each
@@ -479,7 +485,8 @@ class EzAudio:
 
         latents = self._generate_latents(
             [text], L, guidance_scale, guidance_rescale, ddim_steps, eta,
-            random_seed, gt=gt_latent, gt_mask=jnp.asarray(gt_mask))
+            random_seed, gt=gt_latent, gt_mask=jnp.asarray(gt_mask),
+            quant=quant, layer_cache=layer_cache)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # paste unmasked gt back (inference.py:104-105), then decode
         pred = jnp.where(jnp.asarray(gt_mask), pred, gt_latent)

@@ -209,6 +209,22 @@ class TestAPILayerCache:
         c = np.corrcoef(w_ref, w_lc2)[0, 1]
         assert c > 0.9, c
 
+    def test_editing_with_layer_cache(self):
+        from tests.tiny_config import TINY_SR, make_tiny_ezaudio
+
+        ez = make_tiny_ezaudio()
+        gt = (0.5 * np.sin(2 * np.pi * 110 * np.arange(2 * TINY_SR)
+                           / TINY_SR)).astype(np.float32)
+        sr, out = ez.editing_audio("a dog", boundary=0.25, gt_file=gt,
+                                   mask_start=0.5, mask_length=0.5,
+                                   ddim_steps=4, random_seed=0,
+                                   layer_cache=(1, 2))
+        assert out.shape == gt.shape and np.isfinite(out).all()
+        # context outside the edit window is still pasted back untouched
+        norm = gt / (np.max(np.abs(gt)) + 1e-9)
+        np.testing.assert_array_equal(out[: int(0.2 * TINY_SR)],
+                                      norm[: int(0.2 * TINY_SR)])
+
     def test_generate_dpm_with_layer_cache(self):
         from tests.tiny_config import make_tiny_ezaudio
 
