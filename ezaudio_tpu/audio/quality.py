@@ -324,9 +324,14 @@ def visqol_nsim(estimate: np.ndarray, reference: np.ndarray, fs: int,
     # local moments along time (3-frame window, per band)
     def box(x):
         k = 3
+        if x.shape[1] <= 1:
+            return x
         pad = np.pad(x, ((0, 0), (k // 2, k // 2)), mode="edge")
+        # zero-prefixed cumsum so window i sums pad[i : i+k] (centered on
+        # x[i]) and all x.shape[1] frames are kept
         c = np.cumsum(pad, axis=1)
-        return (c[:, k:] - c[:, :-k]) / k if x.shape[1] > 1 else x
+        c = np.concatenate([np.zeros((x.shape[0], 1)), c], axis=1)
+        return (c[:, k:] - c[:, :-k]) / k
 
     mu_r, mu_d = box(Nr), box(Nd)
     var_r = np.maximum(box(Nr * Nr) - mu_r ** 2, 0.0)

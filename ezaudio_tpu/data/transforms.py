@@ -623,7 +623,12 @@ def spectral_gate(audio: np.ndarray, sr: int, noise: np.ndarray,
     nz_db = 20.0 * np.log10(np.maximum(np.abs(nz_spec), 1e-4))
     thresh = nz_db.mean(axis=-1, keepdims=True) + \
         n_std * nz_db.std(axis=-1, keepdims=True)  # (Bn, F, 1)
-    thresh = np.broadcast_to(thresh[:1], (B * C,) + thresh.shape[1:])
+    # align noise rows with signal rows: flat row index is b*C + c, so
+    # tiling a (C,)- or (1,)-row profile preserves per-channel statistics
+    # (the old [:1] broadcast gated every channel with row 0's threshold)
+    if thresh.shape[0] != B * C:
+        reps = -(-(B * C) // thresh.shape[0])
+        thresh = np.tile(thresh, (reps, 1, 1))[: B * C]
 
     spec = np.asarray(stft(jnp.asarray(flat), n_fft, hop))
     sig_db = 20.0 * np.log10(np.maximum(np.abs(spec), 1e-4))

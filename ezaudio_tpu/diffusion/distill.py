@@ -138,7 +138,7 @@ def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
     import optax
 
     @jax.jit
-    def step(state, batch, rng):
+    def _step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -146,6 +146,14 @@ def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         return new_state, {"loss": loss}
+
+    def step(state, batch, rng):
+        # int8 quant is inference-only (round has no gradient): force it off
+        # at trace time even if EZAUDIO_QUANT is set in the environment.
+        from ezaudio_tpu.ops.quant import quant_context
+
+        with quant_context("off"):
+            return _step(state, batch, rng)
 
     return step
 

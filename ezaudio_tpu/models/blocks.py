@@ -146,13 +146,23 @@ class Attention(nn.Module):
 
             impl = os.environ.get("EZAUDIO_ATTN_IMPL", "auto")
         if impl == "auto":
-            # Measured same-session A/B at the XL geometry (BASELINE.md):
-            # XLA's batched attention beats the single-block Pallas kernel by
-            # ~27% end-to-end (the kernel pads head_dim 72->128 and its grid
-            # programs serialize per (batch, head)).  Default to einsum;
-            # the Pallas kernel stays available via attention_impl="pallas"
-            # or EZAUDIO_ATTN_IMPL=pallas.
-            impl = "einsum"
+            # Inside a ring_context with an sp>1 mesh, self-attention routes
+            # through the sequence-parallel ring kernel (the context promises
+            # this for impl='auto'); otherwise, measured same-session A/B at
+            # the XL geometry (BASELINE.md): XLA's batched attention beats
+            # the single-block Pallas kernel by ~27% end-to-end (the kernel
+            # pads head_dim 72->128 and its grid programs serialize per
+            # (batch, head)).  Default to einsum; the Pallas kernel stays
+            # available via attention_impl="pallas" or EZAUDIO_ATTN_IMPL.
+            from ezaudio_tpu.parallel.ring_attention import (
+                current_ring_context)
+
+            rctx = current_ring_context()
+            if rctx is not None and not cross and \
+                    rctx[0].shape.get(rctx[1], 1) > 1:
+                impl = "ring"
+            else:
+                impl = "einsum"
         if impl == "ring" and not cross:
             # Sequence-parallel exact attention: latent frames sharded over
             # the mesh's sp axis, K/V blocks rotated around the ICI ring

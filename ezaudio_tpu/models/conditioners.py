@@ -249,6 +249,15 @@ class Conditioner:
                 from ezaudio_tpu.models.hubert import (
                     HubertConfig, VoiceConversionExtractor)
 
+                if kwargs.get("weights") is None:
+                    import warnings
+
+                    warnings.warn(
+                        "Conditioner('vc') built WITHOUT weights: the HuBERT"
+                        "/ContentVec tower is randomly initialized and its "
+                        "features are meaningless for real conditioning. "
+                        "Pass weights= (a transformers-format state dict) "
+                        "or extractor=.", stacklevel=2)
                 self.fn = VoiceConversionExtractor(
                     sr=kwargs.get("sr", 24000),
                     cfg=kwargs.get("hubert_config") or HubertConfig(),

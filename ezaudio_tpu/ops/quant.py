@@ -77,8 +77,12 @@ def quant_context(mode: Optional[str]):
     """``with quant_context('int8'):`` — Linear layers above
     MIN_QUANT_ELEMENTS run their matmul through :func:`int8_dot` while
     tracing inside.  ``mode=None`` is a no-op (convenience for call sites
-    with a quant argument)."""
-    assert mode in (None, "int8"), mode
+    with a quant argument; the ``EZAUDIO_QUANT`` env fallback still
+    applies).  ``mode='off'`` force-disables quantization INCLUDING the
+    env fallback — training steps trace inside this so a lingering
+    ``EZAUDIO_QUANT=int8`` cannot silently zero the weight gradients
+    (``round`` has no gradient)."""
+    assert mode in (None, "int8", "off"), mode
     prev = getattr(_state, "mode", None)
     _state.mode = mode
     try:
@@ -89,6 +93,8 @@ def quant_context(mode: Optional[str]):
 
 def current_quant_mode() -> Optional[str]:
     mode = getattr(_state, "mode", None)
+    if mode == "off":
+        return None
     if mode is None:
         mode = os.environ.get("EZAUDIO_QUANT") or None
     return mode

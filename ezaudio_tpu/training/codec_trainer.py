@@ -17,6 +17,7 @@ config), alternating jitted steps; both steps shard the batch over dp.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Tuple
 
 import jax
@@ -122,8 +123,10 @@ def make_codec_train_steps(
         d_real = disc.apply({"params": disc_params}, audio[:, :n])
         return discriminator_loss(d_fake, d_real)
 
-    @jax.jit
-    def step(state: CodecTrainState, audio, rng):
+    # state donated: gen/disc params + both optimizers alias into the
+    # updated state instead of doubling peak HBM
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _step(state: CodecTrainState, audio, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         (gl, (metrics, recon)), g_grads = jax.value_and_grad(
@@ -143,6 +146,14 @@ def make_codec_train_steps(
             step=state.step + 1, gen_params=gen_params, gen_opt=gen_opt,
             disc_params=disc_params, disc_opt=disc_opt)
         return new_state, metrics
+
+    def step(state: CodecTrainState, audio, rng):
+        # int8 quant is inference-only (round has no gradient): force it off
+        # at trace time even if EZAUDIO_QUANT is set in the environment.
+        from ezaudio_tpu.ops.quant import quant_context
+
+        with quant_context("off"):
+            return _step(state, audio, rng)
 
     return step, gen_tx, disc_tx
 

@@ -109,50 +109,55 @@ def main(argv=None):
     from ezaudio_tpu.training.trainer import PreemptionGuard
 
     guard = PreemptionGuard().__enter__()
-    for batch in it:
-        # host->device: VAE encode + text encode (both jitted)
-        latents = ez.autoencoder.encode(
-            jnp.asarray(batch["audio"])[:, :, None],
-            key=jax.random.fold_in(encode_key, global_step))
-        if stage == "audiocaps":
-            if "text_mask" in batch:  # offline embeddings
-                text, text_mask = jnp.asarray(batch["text"]), jnp.asarray(batch["text_mask"])
+    try:
+        for batch in it:
+            # host->device: VAE encode + text encode (both jitted)
+            latents = ez.autoencoder.encode(
+                jnp.asarray(batch["audio"])[:, :, None],
+                key=jax.random.fold_in(encode_key, global_step))
+            if stage == "audiocaps":
+                if "text_mask" in batch:  # offline embeddings
+                    text, text_mask = jnp.asarray(batch["text"]), jnp.asarray(batch["text_mask"])
+                else:
+                    text, text_mask = ez.embed_text(batch["text"])
             else:
-                text, text_mask = ez.embed_text(batch["text"])
-        else:
-            text, text_mask = None, None
+                text, text_mask = None, None
 
-        step_batch = {"latents": latents, "text": text, "text_mask": text_mask,
-                      "uncond": uncond, "uncond_mask": uncond_mask}
-        metrics = trainer.train_step(shard_batch(mesh, step_batch), rng)
-        losses.append(float(metrics["loss"]))
-        global_step += 1
+            step_batch = {"latents": latents, "text": text, "text_mask": text_mask,
+                          "uncond": uncond, "uncond_mask": uncond_mask}
+            metrics = trainer.train_step(shard_batch(mesh, step_batch), rng)
+            losses.append(float(metrics["loss"]))
+            global_step += 1
 
-        if global_step % args.log_step == 0:
-            msg = (f"{time.asctime()}  step {global_step}  "
-                   f"loss {np.mean(losses[-args.log_step:]):.6f}  "
-                   f"({args.log_step / (time.time() - t0):.2f} it/s)\n")
-            with open(os.path.join(log_dir, "log.txt"), "a") as f:
-                f.write(msg)
-            print(msg, end="")
-            t0 = time.time()
+            if global_step % args.log_step == 0:
+                msg = (f"{time.asctime()}  step {global_step}  "
+                       f"loss {np.mean(losses[-args.log_step:]):.6f}  "
+                       f"({args.log_step / (time.time() - t0):.2f} it/s)\n")
+                with open(os.path.join(log_dir, "log.txt"), "a") as f:
+                    f.write(msg)
+                print(msg, end="")
+                t0 = time.time()
 
-        if global_step % args.save_every_step == 0:
-            # async: the write overlaps the next steps (trainer.py)
-            trainer.save_checkpoint(os.path.abspath(save_dir), global_step,
-                                    block=False)
+            if global_step % args.save_every_step == 0:
+                # async: the write overlaps the next steps (trainer.py)
+                trainer.save_checkpoint(os.path.abspath(save_dir), global_step,
+                                        block=False)
 
-        if guard.preempted:
-            print(f"preemption signal: checkpointing at step {global_step} "
-                  "and exiting (auto-resume picks this up on restart)")
-            break
+            if guard.preempted:
+                print(f"preemption signal: checkpointing at step {global_step} "
+                      "and exiting (auto-resume picks this up on restart)")
+                break
 
-        if args.max_steps and global_step >= args.max_steps:
-            break
+            if args.max_steps and global_step >= args.max_steps:
+                break
 
-    guard.__exit__()
-    trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
-    trainer.close()
+        # final BLOCKING save runs while the guard is still active, so a
+        # second SIGTERM during the (possibly long) write is absorbed
+        # instead of killing the process mid-checkpoint
+        trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
+    finally:
+        guard.__exit__()
+        trainer.close()
     return trainer
 
 

@@ -23,6 +23,7 @@ inserts the gradient all-reduce; parameters/optimizer state follow
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -98,8 +99,12 @@ def make_train_step(
         loss = masked_diffusion_loss(pred, target, mask, schedule, t, snr_gamma)
         return loss
 
-    @jax.jit
-    def step(state: TrainState, batch, rng):
+    # state is DONATED: params + optimizer moments (~12 GB f32 at s3_xl
+    # scale) alias into the updated state instead of doubling peak HBM —
+    # without this the single-chip XL train step does not fit on a 16 GB
+    # v5e (measured, perf_probe9).
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -108,6 +113,15 @@ def make_train_step(
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    def step(state: TrainState, batch, rng):
+        # Training always traces with quantization force-disabled: int8
+        # round() has zero gradient, so a lingering EZAUDIO_QUANT=int8 would
+        # silently stall training (quant is inference-only by design).
+        from ezaudio_tpu.ops.quant import quant_context
+
+        with quant_context("off"):
+            return _step(state, batch, rng)
 
     return step
 

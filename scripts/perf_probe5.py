@@ -52,7 +52,11 @@ def main():
 
     params = None
     for impl in impls:
-        blocks_mod.Attention.attention_impl = impl
+        # The runtime switch is the EZAUDIO_ATTN_IMPL env var, read at TRACE
+        # time inside Attention when the configured impl is "auto" (setting
+        # the class attribute is a no-op: flax dataclass defaults are baked
+        # into __init__, and UDiT passes attention_impl explicitly anyway).
+        os.environ["EZAUDIO_ATTN_IMPL"] = impl
         dit = maskdit_from_config(cfg.model.to_dict(), dtype=jnp.bfloat16)
         if params is None:
             params = dit.init({"params": key, "mask": key},

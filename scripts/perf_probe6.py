@@ -59,7 +59,9 @@ def main():
     from ezaudio_tpu.models.maskdit import maskdit_from_config
     import ezaudio_tpu.models.blocks as blocks_mod
 
-    blocks_mod.Attention.attention_impl = impl
+    # env var is the trace-time switch (class-attr override is a no-op:
+    # dataclass defaults bake into __init__ and UDiT passes the field down)
+    os.environ["EZAUDIO_ATTN_IMPL"] = impl
     cfg = get_model_config("s3_xl")
     L, C, D, Lc = (cfg.model.img_size, cfg.model.out_chans,
                    cfg.model.context_dim, 100)

@@ -167,6 +167,13 @@ def main():
                 jax.random.PRNGKey(8), 100, cache_interval=m,
                 guidance_scale=guidance))
 
+    # the 36x-RT headline recipe: fewer steps x cheaper steps COMPOSED
+    configs["DPM-25 + layer_cache(k=1,m=2) (36x recipe)"] = (
+        lambda: dpm_solver_sample(
+            model_fn, schedule, noise, 25, guidance_scale=guidance,
+            layer_cache_fns=(model_full_lc, model_cached_lc),
+            cache_interval=2))
+
     import ezaudio_tpu.ops.quant as quant_mod
     from ezaudio_tpu.ops.quant import quant_context
 

@@ -446,3 +446,32 @@ class TestSignalArithmeticAndCodec:
         before = sig.audio_data.copy()
         out = sig.apply_codec("8-bit")
         assert out is sig and not np.array_equal(sig.audio_data, before)
+
+
+class TestSpectralGatePerChannel:
+    def test_per_channel_noise_profile(self):
+        """A stereo noise profile must gate each channel with ITS OWN
+        statistics: with a hot right-channel profile, right-channel noise
+        at that level is removed while the same-level left-channel TONE
+        (well above the quiet left profile) survives."""
+        from ezaudio_tpu.data.transforms import spectral_gate
+
+        rng = np.random.default_rng(1)
+        sr = 8000
+        T = 2 * sr
+        quiet = 0.001 * rng.standard_normal(sr)
+        loud = 0.2 * rng.standard_normal(sr)
+        profile = np.stack([quiet, loud])[None].astype(np.float32)  # (1,2,sr)
+
+        t = np.arange(T) / sr
+        tone = (0.2 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+        hot_noise = (0.2 * rng.standard_normal(T)).astype(np.float32)
+        audio = np.stack([tone, hot_noise])[None]  # (1, 2, T)
+
+        out = spectral_gate(audio, sr, profile, denoise_amount=1.0)
+        # right channel: noise at the profile's own level -> mostly gated
+        assert np.square(out[0, 1]).mean() < 0.3 * np.square(hot_noise).mean()
+        # left channel: tone is ~46 dB above ITS quiet profile -> survives
+        # (the old [:1] broadcast used the LEFT threshold for both channels
+        # and kept the right-channel noise; per-channel stats fix that)
+        assert np.square(out[0, 0]).mean() > 0.25 * np.square(tone).mean()

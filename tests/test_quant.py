@@ -107,3 +107,41 @@ class TestAPIQuant:
         assert np.abs(w_q - w_f).max() > 0  # int8 path actually ran
         c = np.corrcoef(w_f, w_q)[0, 1]
         assert c > 0.99, c
+
+
+class TestQuantOffGuard:
+    def test_off_overrides_env(self, monkeypatch):
+        monkeypatch.setenv("EZAUDIO_QUANT", "int8")
+        assert current_quant_mode() == "int8"
+        with quant_context("off"):
+            assert current_quant_mode() is None
+            with quant_context("int8"):  # explicit opt-in still wins
+                assert current_quant_mode() == "int8"
+        assert current_quant_mode() == "int8"
+
+    def test_train_step_ignores_env_quant(self, monkeypatch):
+        """EZAUDIO_QUANT=int8 in the environment must NOT leak into the
+        training trace (round() has zero gradient): the jitted train step
+        contains no i8 tensors and large-linear grads are nonzero."""
+        import optax
+
+        from ezaudio_tpu.ops.convs import Linear
+
+        monkeypatch.setenv("EZAUDIO_QUANT", "int8")
+        lin = Linear(in_features=256, out_features=256)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 256))
+        params = lin.init(jax.random.PRNGKey(1), x)
+
+        def loss(p):
+            return jnp.mean(lin.apply(p, x) ** 2)
+
+        # inference trace (no guard): the env var applies
+        with quant_context(None):
+            txt_inf = jax.jit(loss).lower(params).as_text()
+        assert "i8" in txt_inf
+        # training trace (guard): no int8 anywhere, real gradients
+        with quant_context("off"):
+            txt = jax.jit(jax.grad(loss)).lower(params).as_text()
+            g = jax.grad(loss)(params)
+        assert "i8" not in txt
+        assert float(jnp.abs(g["params"]["kernel"]).max()) > 0

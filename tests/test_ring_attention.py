@@ -212,3 +212,46 @@ class TestModuleRingImpl:
                 lambda p, x, t, c: m_r.apply(p, x, t, c))(params, x, t, ctx)
         np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_e),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestAutoRouting:
+    def test_auto_routes_to_ring_inside_context(self):
+        """attention_impl='auto' (the default) must honor the ring_context
+        promise: inside a context whose mesh has sp>1, self-attention
+        traces through the ring kernel (collective_permute in the HLO) and
+        matches the einsum result; outside, plain einsum (no collectives)."""
+        from ezaudio_tpu.models.blocks import Attention
+
+        mesh = _mesh(2, 4)
+        B, L, D = 4, 32, 64
+        x = jax.random.normal(jax.random.PRNGKey(21), (B, L, D))
+        attn = Attention(dim=D, num_heads=4, rope_mode="shared")  # auto
+        params = attn.init(jax.random.PRNGKey(22), x)
+
+        # NB: a FRESH function object per lower() — jax caches traces on
+        # function identity, and the ring context is trace-time state
+        txt_plain = jax.jit(
+            lambda p, x: attn.apply(p, x)).lower(params, x).as_text()
+        assert "collective_permute" not in txt_plain
+
+        with ring_context(mesh, batch_axes=("dp",)):
+            ring_fn = jax.jit(lambda p, x: attn.apply(p, x))
+            txt_ring = ring_fn.lower(params, x).as_text()
+            out_r = ring_fn(params, x)
+        assert "collective_permute" in txt_ring
+        out_e = attn.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_e),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_auto_stays_einsum_when_sp_is_one(self):
+        from ezaudio_tpu.models.blocks import Attention
+
+        mesh = make_mesh(dp=4, sp=1, devices=jax.devices()[:4])
+        B, L, D = 2, 16, 32
+        x = jax.random.normal(jax.random.PRNGKey(23), (B, L, D))
+        attn = Attention(dim=D, num_heads=4)
+        params = attn.init(jax.random.PRNGKey(24), x)
+        with ring_context(mesh, batch_axes=("dp",)):
+            txt = jax.jit(lambda p, x: attn.apply(p, x)).lower(
+                params, x).as_text()
+        assert "collective_permute" not in txt

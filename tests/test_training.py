@@ -13,6 +13,13 @@ from tests.test_dit import TINY_MODEL
 from tests.tiny_config import TINY_CONFIG
 
 
+def _fresh(params):
+    """Deep-copy a param tree: train steps DONATE their input state (the
+    production memory posture), so each test must hand the step its own copy
+    instead of the module-scoped fixture's buffers."""
+    return jax.tree.map(jnp.copy, params)
+
+
 @pytest.fixture(scope="module")
 def setup():
     model = maskdit_from_config(TINY_MODEL)
@@ -54,7 +61,7 @@ class TestTrainStep:
         model, params, schedule = setup
         tx = make_optimizer(params, learning_rate=2e-3, warmup=0, grad_clip=1.0)
         step = make_train_step(model, schedule, tx)
-        state = TrainState.create(params, tx)
+        state = TrainState.create(_fresh(params), tx)
         batch = make_batch(rng)
         key = jax.random.PRNGKey(0)
         losses = []
@@ -68,11 +75,12 @@ class TestTrainStep:
         model, params, schedule = setup
         tx = make_optimizer(params, learning_rate=1.0, warmup=10_000)
         step = make_train_step(model, schedule, tx)
-        state = TrainState.create(params, tx)
+        state = TrainState.create(_fresh(params), tx)
+        p0 = jax.device_get(state.params)  # snapshot: the step donates state
         state2, _ = step(state, make_batch(rng), jax.random.PRNGKey(0))
         # lr ~ 1/10000 of 1.0 -> param delta tiny
         d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                         state.params, state2.params)
+                         p0, state2.params)
         assert max(jax.tree.leaves(d)) < 1e-3
 
     def test_accumulation_steps(self, setup, rng):
@@ -80,15 +88,16 @@ class TestTrainStep:
         tx = make_optimizer(params, learning_rate=1e-3, warmup=0,
                             accumulation_steps=2)
         step = make_train_step(model, schedule, tx)
-        state = TrainState.create(params, tx)
+        state = TrainState.create(_fresh(params), tx)
+        p0 = jax.device_get(state.params)  # snapshot: the step donates state
         s1, _ = step(state, make_batch(rng), jax.random.PRNGKey(0))
         # first micro-step: no update applied yet
         d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                         state.params, s1.params)
+                         p0, s1.params)
         assert max(jax.tree.leaves(d)) == 0.0
         s2, _ = step(s1, make_batch(rng), jax.random.PRNGKey(1))
         d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
-                         state.params, s2.params)
+                         p0, s2.params)
         assert max(jax.tree.leaves(d)) > 0.0
 
 
@@ -107,7 +116,7 @@ class TestDataParallel:
         batch = make_batch(rng)
         key = jax.random.PRNGKey(0)
 
-        state = TrainState.create(params, tx)
+        state = TrainState.create(_fresh(params), tx)
         s_ref, m_ref = step(state, batch, key)
 
         state_sh = TrainState.create(replicate(mesh, params), tx)
