@@ -47,6 +47,9 @@ class GenerationServer:
         ddim_steps: int = 100,
         guidance_scale: float = 5.0,
         guidance_rescale: float = 0.75,
+        sampler: str = "ddim",
+        quant: Optional[str] = None,
+        layer_cache: Optional[Tuple[int, int]] = None,
     ):
         self.ez = ez
         self.max_batch_size = max_batch_size
@@ -55,7 +58,9 @@ class GenerationServer:
                               [b for b in (1, 2, 4, 8, 16) if b <= max_batch_size])
         self.gen_kwargs = dict(length=length, ddim_steps=ddim_steps,
                                guidance_scale=guidance_scale,
-                               guidance_rescale=guidance_rescale)
+                               guidance_rescale=guidance_rescale,
+                               sampler=sampler, quant=quant,
+                               layer_cache=layer_cache)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None

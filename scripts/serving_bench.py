@@ -1,0 +1,106 @@
+"""Serving benchmark: sustained throughput + latency under Poisson load.
+
+Drives ezaudio_tpu.serving.GenerationServer (micro-batching into
+jit-cached bucket sizes) with Poisson request arrivals at a configured
+offered load, and reports achieved throughput, p50/p95 end-to-end request
+latency, and batching efficiency.  This is the production-serving figure
+of merit the per-call bench cannot show: how well the scheduler converts
+concurrency into MXU batch efficiency.
+
+Run:  python -u scripts/serving_bench.py [offered_rps ...]
+Env:  SERVE_RECIPE=fast|default   (fast = DPM-25 + layer_cache(2,2),
+      the quality-validated recipe from BASELINE.md)
+      SERVE_SECONDS=60            window per load point
+      SERVE_MAX_BATCH=8
+"""
+
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+PROMPTS = [
+    "a dog barking in the distance", "heavy rain on a tin roof",
+    "a car engine starting", "birds chirping in a forest",
+    "footsteps on gravel", "a phone ringing in another room",
+    "waves crashing on a beach", "an espresso machine steaming milk",
+]
+
+
+def main():
+    rates = [float(r) for r in sys.argv[1:]] or [0.5, 1.0, 2.0]
+    recipe = os.environ.get("SERVE_RECIPE", "fast")
+    window = float(os.environ.get("SERVE_SECONDS", "60"))
+    max_batch = int(os.environ.get("SERVE_MAX_BATCH", "8"))
+
+    from ezaudio_tpu.api.ezaudio import EzAudio
+    from ezaudio_tpu.config import get_model_config
+    from ezaudio_tpu.serving import GenerationServer
+    from ezaudio_tpu.text.t5 import T5EncoderConfig
+
+    d = get_model_config("s3_xl").model.context_dim
+    t5 = T5EncoderConfig(vocab_size=512, d_model=d, d_kv=64, d_ff=2 * d,
+                         num_layers=2, num_heads=8)
+    ez = EzAudio(model_name="s3_xl", t5_config=t5, dtype=jnp.bfloat16)
+
+    kw = (dict(ddim_steps=25, sampler="dpm", layer_cache=(2, 2))
+          if recipe == "fast" else dict(ddim_steps=100))
+    server = GenerationServer(ez, max_batch_size=max_batch,
+                              max_wait_ms=200.0, **kw).start()
+
+    # warm every bucket size so steady-state never pays a compile
+    print(f"warming jit buckets {server.buckets} ({recipe} recipe)...",
+          flush=True)
+    for b in server.buckets:
+        ez.generate_audio(PROMPTS[:b], random_seed=0, length=10.0,
+                          guidance_scale=5.0, guidance_rescale=0.75, **kw)
+
+    rng = np.random.default_rng(0)
+    for rps in rates:
+        lat, lock = [], threading.Lock()
+        t_end = time.perf_counter() + window
+        futures = []
+        n_sent = 0
+        server.stats.update(batches=0, padded_slots=0)
+        while time.perf_counter() < t_end:
+            gap = rng.exponential(1.0 / rps)
+            time.sleep(gap)
+            t0 = time.perf_counter()
+            f = server.submit(PROMPTS[n_sent % len(PROMPTS)], seed=n_sent)
+            f.add_done_callback(
+                lambda fut, t0=t0: (lock.acquire(),
+                                    lat.append(time.perf_counter() - t0),
+                                    lock.release()))
+            futures.append(f)
+            n_sent += 1
+        for f in futures:
+            f.result(timeout=600)
+        lat = np.array(sorted(lat))
+        done = len(lat)
+        pad = server.stats["padded_slots"]
+        eff = done / max(1, done + pad)  # fraction of batch slots doing real work
+        print(f"[{recipe}] offered {rps:.2f} req/s: served {done} in "
+              f"{window:.0f}s ({done/window:.2f} req/s = "
+              f"{done*10.0/window:.1f} audio-s/s), p50 "
+              f"{np.percentile(lat, 50):.2f}s p95 "
+              f"{np.percentile(lat, 95):.2f}s, "
+              f"{server.stats['batches']} batches, slot-fill {eff:.0%}",
+              flush=True)
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,3 +68,36 @@ class TestGenerationServer:
             except RuntimeError:
                 raised = True
         assert raised
+
+
+class TestServerRecipePassthrough:
+    def test_fast_recipe_kwargs_reach_generate(self):
+        """sampler/quant/layer_cache configured on the server must reach
+        every generate_audio call (the quality-validated 36x recipe)."""
+        seen = {}
+
+        class Spy(FakeEz):
+            def generate_audio(self, texts, random_seed=None, **kw):
+                seen.update(kw)
+                return super().generate_audio(texts, random_seed=random_seed)
+
+        with GenerationServer(Spy(), max_batch_size=2, max_wait_ms=10,
+                              ddim_steps=25, sampler="dpm",
+                              layer_cache=(2, 2), quant="int8") as srv:
+            srv.generate("hello", seed=1, timeout=10)
+        assert seen["sampler"] == "dpm" and seen["ddim_steps"] == 25
+        assert seen["layer_cache"] == (2, 2) and seen["quant"] == "int8"
+
+    def test_real_pipeline_fast_recipe(self):
+        """End-to-end through the tiny model with the composed fast recipe."""
+        from tests.tiny_config import make_tiny_ezaudio
+
+        ez = make_tiny_ezaudio()
+        with GenerationServer(ez, max_batch_size=2, max_wait_ms=50,
+                              length=2.0, ddim_steps=8, sampler="dpm",
+                              layer_cache=(1, 2)) as srv:
+            futs = [srv.submit(p, seed=i)
+                    for i, p in enumerate(["rain", "a dog"])]
+            outs = [f.result(timeout=300) for f in futs]
+        for sr, wav in outs:
+            assert np.isfinite(wav).all() and wav.ndim == 1
