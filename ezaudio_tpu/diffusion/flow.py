@@ -107,10 +107,16 @@ def flow_sample(
 
 
 def flow_matching_loss(model_apply, params, x0, noise, t, rngs=None,
-                       mask=None, **model_kwargs):
+                       mask=None, schedule: Optional[FlowSchedule] = None,
+                       **model_kwargs):
     """Masked flow-matching MSE (same masking semantics as the diffusion
-    loss): model predicts v at x_t; target eps - x0."""
-    sched = FlowSchedule()
+    loss): model predicts v at x_t; target eps - x0.
+
+    ``schedule`` must be the SAME FlowSchedule used by :func:`flow_sample`
+    (its ``num_train_timesteps`` sets the model's timestep-embedding scale
+    and its ``loss_weight`` hook weights the per-sample loss); defaults to
+    ``FlowSchedule()``."""
+    sched = schedule or FlowSchedule()
     xt = sched.interpolate(x0, noise, t)
     target = sched.velocity_target(x0, noise)
     pred, mae_mask = model_apply(params, xt, t * sched.num_train_timesteps,
@@ -120,4 +126,4 @@ def flow_matching_loss(model_apply, params, x0, noise, t, rngs=None,
     err = err * m.astype(jnp.float32)
     per = err.sum(axis=tuple(range(1, err.ndim))) / jnp.maximum(
         m.sum(axis=tuple(range(1, m.ndim))), 1.0)
-    return per.mean()
+    return (sched.loss_weight(t) * per).mean()

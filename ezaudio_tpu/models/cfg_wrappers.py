@@ -30,13 +30,16 @@ class EmbeddingCFG(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, condition, condition_mask=None, cfg_prob: float = 0.0,
-                 train: bool = False):
+    def __call__(self, condition, condition_mask=None, cfg_prob: float = 0.0):
         null = self.param(
             "cfg_embedding",
             lambda k, s, d=jnp.float32: jax.random.normal(k, s, d) / math.sqrt(self.in_channels),
             (self.in_channels,), jnp.float32)
-        if cfg_prob <= 0 or not train:
+        # reference semantics (conditioners.py:35-42): dropout applies
+        # whenever cfg_prob > 0 — the CALLER zeroes cfg_prob at inference.
+        # (A former train= gate here defaulted to no-op, silently training
+        # without CFG dropout for reference-shaped call sites.)
+        if cfg_prob <= 0:
             return condition, condition_mask
         B = condition.shape[0]
         drop = jax.random.uniform(self.make_rng("cfg"), (B,)) < cfg_prob
@@ -56,9 +59,9 @@ class DiscreteCFG(nn.Module):
     replace_id: int = 2
 
     @nn.compact
-    def __call__(self, context, context_mask=None, cfg_prob: float = 0.0,
-                 train: bool = False):
-        if cfg_prob <= 0 or not train:
+    def __call__(self, context, context_mask=None, cfg_prob: float = 0.0):
+        # reference semantics: gate on cfg_prob alone (see EmbeddingCFG)
+        if cfg_prob <= 0:
             return context, context_mask
         B = context.shape[0]
         drop = jax.random.uniform(self.make_rng("cfg"), (B,)) < cfg_prob
@@ -78,10 +81,10 @@ class CFGModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context, x_mask=None, context_mask=None,
-                 cfg_prob: float = 0.0, train: bool = False):
+                 cfg_prob: float = 0.0):
         context, context_mask = EmbeddingCFG(
             self.context_dim, name="context_cfg")(
-            context, context_mask, cfg_prob, train)
+            context, context_mask, cfg_prob)
         return self.backbone(x=x, timesteps=timesteps, context=context,
                              x_mask=x_mask, context_mask=context_mask)
 
@@ -98,7 +101,7 @@ class ConcatModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context, x_mask=None,
-                 cfg_prob: float = 0.0, train: bool = False):
+                 cfg_prob: float = 0.0):
         dim = self.in_dim
         for i, s in enumerate(self.strides):
             context = Conv1d(dim, dim * 2, kernel_size=2 * s, stride=s,
@@ -106,7 +109,7 @@ class ConcatModel(nn.Module):
                              name=f"down{i}")(context)
             dim *= 2
         context, _ = EmbeddingCFG(dim, name="context_cfg")(
-            context, None, cfg_prob, train)
+            context, None, cfg_prob)
         assert context.shape[1] == x.shape[1], (context.shape, x.shape)
         x = jnp.concatenate([context, x], axis=-1)
         return self.backbone(x=x, timesteps=timesteps, context=None,

@@ -43,8 +43,13 @@ def frame_energy(audio: jnp.ndarray, hop_size: int, window_size: int,
     TPU for 10 s clips."""
     n_frames = audio.shape[-1] // hop_size
     pad = (window_size - hop_size) // 2
+    # right pad takes the odd remainder so the LAST frame's window
+    # [start, start + window) stays inside the padded signal (with a
+    # symmetric //2 pad and odd window-hop the final cumsum index clamped
+    # one short, silently truncating the last frame's energy)
+    pad_r = (window_size - hop_size) - pad
     mode = {"reflect": "reflect", "constant": "constant"}[padding]
-    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode=mode)
+    x = jnp.pad(audio, ((0, 0), (pad, pad_r)), mode=mode)
     sq = jnp.square(x)
     B, Tp = sq.shape
     if window_size % hop_size == 0:
@@ -270,9 +275,12 @@ class Conditioner:
         cond = self.fn(jnp.asarray(waveform))
         if latent_shape is not None and len(latent_shape) == 4:
             # 2D spectrogram latents (B, T, F, C): tile the condition over
-            # the frequency axis (condition_wrapper.py:31-36 equivalent in
-            # channel-last layout); the time axis must divide evenly.
+            # the frequency axis by X = F_lat * T_cond / T_lat
+            # (condition_wrapper.py:33-36 exactly — the replication factor
+            # scales with the condition/latent frame-rate ratio so the
+            # total condition area matches the latent area), channel-last.
             T_lat, F_lat = latent_shape[1], latent_shape[2]
             assert cond.shape[1] % T_lat == 0, (cond.shape, latent_shape)
-            cond = jnp.repeat(cond[:, :, None, :], F_lat, axis=2)
+            X = F_lat * cond.shape[1] // T_lat
+            cond = jnp.repeat(cond[:, :, None, :], X, axis=2)
         return cond

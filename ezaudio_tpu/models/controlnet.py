@@ -139,9 +139,22 @@ class DiTControlNet(nn.Module):
             if cfg.get("context_fusion") == "cross":
                 block_context_dim = embed_dim
             else:
+                # Concat fusion: same mask bookkeeping as UDiT's
+                # _concat_x_context — the context prefix joins the
+                # sequence, so its mask must join the key mask (and the
+                # reference asserts the fixed prefix length).
+                assert context_token.shape[1] == cfg["context_max_length"], (
+                    "concat fusion requires context padded to "
+                    f"context_max_length={cfg['context_max_length']}, got "
+                    f"{context_token.shape[1]}")
+                if x_mask is None:
+                    x_mask = jnp.ones((B, L), dtype=bool)
+                cmask = (context_mask if context_mask is not None else
+                         jnp.ones((B, context_token.shape[1]), dtype=bool))
                 x = jnp.concatenate([context_token, x], axis=1)
+                x_mask = jnp.concatenate([cmask, x_mask], axis=1)
                 extras += cfg["context_max_length"]
-                context_token = None
+                context_token, context_mask = None, None
 
         time_token = TimestepEmbedder(hidden_size=embed_dim, dtype=self.dtype,
                                       name="time_embed")(timesteps)

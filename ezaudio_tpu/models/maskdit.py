@@ -68,6 +68,13 @@ class MaskDiT(nn.Module):
     ):
         """Returns (output, mae_mask) with mae_mask float (B, L, C).
 
+        Branch selection follows the REFERENCE exactly (conditioners.py
+        :161-175): ``gt`` + ``mae_mask_infer`` -> caller-provided editing
+        mask; ``gt`` alone -> random span masking (requires the 'mask'
+        rng) REGARDLESS of ``train`` — the torch reference does not gate
+        on training mode either, and eval_udit renders MAE masks this
+        way.  ``train`` is accepted for API symmetry only.
+
         ``collect_deep_k`` / ``deep_cache`` forward to UDiT's cross-step
         layer caching (see udit.py): with ``collect_deep_k`` the output
         slot is the tuple ``(out, deep)``."""

@@ -39,16 +39,20 @@ def compute_span_mask(
     ``mask_prob``: per-element probabilities, shape (batch,).
     """
     k_round, k_starts = jax.random.split(key)
-    max_spans = length // mask_length + 1
+    # Candidate start positions in [0, length - mask_length]; for sequences
+    # no longer than the span there is exactly one start.  max_spans is
+    # clamped to n_pos so top_k's k never exceeds the score axis (a
+    # length within ~max_spans of mask_length used to crash at trace time).
+    n_pos = max(1, length - mask_length)
+    max_spans = min(length // mask_length + 1, n_pos)
 
     num = jnp.floor(
         mask_prob * length / float(mask_length)
         + jax.random.uniform(k_round, (batch,))
     ).astype(jnp.int32)
-    num = jnp.clip(num, min_masks, max_spans)
+    num = jnp.clip(num, min(min_masks, max_spans), max_spans)
 
-    # Distinct starts in [0, length - mask_length] via top-k of iid uniforms.
-    n_pos = length - mask_length
+    # Distinct starts via top-k of iid uniforms.
     scores = jax.random.uniform(k_starts, (batch, n_pos))
     _, starts = jax.lax.top_k(scores, max_spans)  # (batch, max_spans), distinct
     valid = jnp.arange(max_spans)[None, :] < num[:, None]

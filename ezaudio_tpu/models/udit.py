@@ -134,6 +134,15 @@ class UDiT(nn.Module):
                                       name="context_pe")(context_token)
             if self.context_fusion in ("concat", "joint"):
                 # Prefix context tokens onto x (udit.py:_concat_x_context).
+                # _extras() assumes exactly context_max_length prefix
+                # tokens (FinalBlock stripping, RoPE x_only/dual offsets),
+                # and the reference asserts the same — a shorter context
+                # would silently corrupt the output.
+                if self.context_max_length is not None:
+                    assert context_token.shape[1] == self.context_max_length, (
+                        "concat fusion requires context padded to "
+                        f"context_max_length={self.context_max_length}, "
+                        f"got {context_token.shape[1]}")
                 if x_mask is None:
                     x_mask = jnp.ones((B, L), dtype=bool)
                 if context_mask is None:

@@ -260,3 +260,103 @@ class TestFusedQKV:
         out_s, _ = model.apply(params, x, t, ctx)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s),
                                    atol=2e-5)
+
+
+class TestReviewRegressionsR2:
+    """Regression tests for the round-2 high-effort review findings."""
+
+    def test_span_mask_short_sequence_traces(self):
+        """length within max_spans of mask_length used to crash top_k
+        (k > score-axis size); now max_spans clamps to the start count."""
+        from ezaudio_tpu.models.span_mask import compute_span_mask
+
+        for L in (10, 11, 12, 15):
+            mask = np.asarray(compute_span_mask(
+                jax.random.PRNGKey(0), 4, L, jnp.full((4,), 0.5), 10))
+            assert mask.shape == (4, L)
+            assert (mask.sum(axis=1) >= 1).all()  # min_masks honored
+
+    def test_frame_energy_odd_window_hop(self):
+        """Odd (window - hop): the last frame's window must not be
+        truncated by the symmetric //2 pad (cumsum path)."""
+        from ezaudio_tpu.models.conditioners import frame_energy
+
+        rng = np.random.default_rng(0)
+        hop, window = 8, 13
+        x = rng.standard_normal((2, 64)).astype(np.float32)
+        got = np.asarray(frame_energy(jnp.asarray(x), hop, window,
+                                      padding="constant"))
+        pad_l = (window - hop) // 2
+        pad_r = (window - hop) - pad_l
+        xp = np.pad(x, ((0, 0), (pad_l, pad_r)))
+        n = x.shape[1] // hop
+        want = np.stack([
+            np.square(xp[:, i * hop : i * hop + window]).mean(axis=1)
+            for i in range(n)], axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_conditioner_2d_tiling_matches_reference_factor(self):
+        """condition_wrapper.py:33-36: the F-axis replication factor is
+        X = F_lat * cond_T / T_lat, not F_lat."""
+        from ezaudio_tpu.models.conditioners import Conditioner
+
+        cond = Conditioner("energy", hop_size=8, window_size=16,
+                           padding="constant", norm=False)
+        wav = np.random.default_rng(1).standard_normal((2, 320)).astype(np.float32)
+        T_cond = 320 // 8          # 40 condition frames
+        T_lat, F_lat = 20, 4       # cond at 2x the latent frame rate
+        out = cond(wav, latent_shape=(2, T_lat, F_lat, 8))
+        X = F_lat * T_cond // T_lat
+        assert out.shape == (2, T_cond, X, 1), out.shape
+
+    def test_udit_concat_rejects_short_context(self):
+        from ezaudio_tpu.models.udit import UDiT
+
+        m = UDiT(img_size=16, patch_size=1, in_chans=4, out_chans=4,
+                 embed_dim=32, depth=2, num_heads=4, context_dim=8,
+                 context_fusion="concat", context_max_length=5,
+                 time_fusion="token", use_checkpoint=False)
+        with pytest.raises(AssertionError, match="context_max_length"):
+            m.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 4)),
+                   jnp.zeros((2,), jnp.int32), jnp.zeros((2, 3, 8)))
+
+    def test_controlnet_concat_fusion_masks(self):
+        """ControlNet's concat-fusion path must extend the key mask with
+        the context prefix (used to crash with x_mask, and silently
+        attend to padded context without it)."""
+        from ezaudio_tpu.models.controlnet import DiTControlNet
+
+        model_cfg = dict(img_size=16, patch_size=1, in_chans=9, out_chans=4,
+                         embed_dim=32, depth=2, num_heads=4, context_dim=8,
+                         context_fusion="concat", context_max_length=5,
+                         time_fusion="ada_single", use_checkpoint=False)
+        cn = DiTControlNet(udit=model_cfg, cond_in=1, cond_blocks=(1,),
+                           cond_mask=False)
+        x = jnp.zeros((2, 16, 9))
+        ctx = jnp.zeros((2, 5, 8))
+        cond = jnp.zeros((2, 16, 1))
+        cmask = jnp.ones((2, 5), bool).at[:, 3:].set(False)
+        xmask = jnp.ones((2, 16), bool)
+        v = cn.init({"params": jax.random.PRNGKey(0)}, x,
+                    jnp.zeros((2,), jnp.int32), ctx, x_mask=xmask,
+                    context_mask=cmask, condition=cond)
+        skips = cn.apply(v, x, jnp.zeros((2,), jnp.int32), ctx,
+                         x_mask=xmask, context_mask=cmask, condition=cond)
+        assert len(skips) == 1
+        assert np.isfinite(np.asarray(skips[0])).all()
+
+    def test_flow_loss_uses_caller_schedule(self):
+        from ezaudio_tpu.diffusion.flow import FlowSchedule, flow_matching_loss
+
+        seen = []
+
+        def apply_fn(params, xt, t_scaled, rngs=None):
+            seen.append(float(np.asarray(t_scaled)[0]))
+            return jnp.zeros_like(xt), jnp.ones_like(xt)
+
+        x0 = jnp.zeros((1, 8, 2))
+        noise = jnp.ones((1, 8, 2))
+        t = jnp.asarray([0.5])
+        flow_matching_loss(apply_fn, None, x0, noise, t,
+                           schedule=FlowSchedule(num_train_timesteps=500))
+        assert seen[-1] == 250.0  # 0.5 * 500, not 0.5 * 1000

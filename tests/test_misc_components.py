@@ -19,15 +19,15 @@ class TestCFGWrappers:
         cond = jnp.asarray(rng.standard_normal((4, 5, 8)).astype(np.float32))
         mask = jnp.ones((4, 5), bool)
         v = m.init({"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
-                   cond, mask, 1.0, True)
-        out, om = m.apply(v, cond, mask, 1.0, True,
+                   cond, mask, 1.0)
+        out, om = m.apply(v, cond, mask, 1.0,
                           rngs={"cfg": jax.random.PRNGKey(2)})
         # everything dropped at prob 1: rows equal the null embedding
         null = v["params"]["cfg_embedding"]
         np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(null), atol=1e-6)
         assert np.asarray(om)[:, 0].all() and not np.asarray(om)[:, 1:].any()
-        # eval mode: passthrough
-        out2, om2 = m.apply(v, cond, mask, 1.0, False)
+        # inference (cfg_prob=0, the reference's gate): passthrough
+        out2, om2 = m.apply(v, cond, mask, 0.0)
         np.testing.assert_array_equal(np.asarray(out2), np.asarray(cond))
 
     def test_discrete_cfg(self, rng):
@@ -36,8 +36,8 @@ class TestCFGWrappers:
         m = DiscreteCFG(replace_id=2)
         ids = jnp.asarray(rng.integers(3, 100, (4, 6)), jnp.int32)
         v = m.init({"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
-                   ids, None, 1.0, True)
-        out, _ = m.apply(v, ids, None, 1.0, True,
+                   ids, None, 1.0)
+        out, _ = m.apply(v, ids, None, 1.0,
                          rngs={"cfg": jax.random.PRNGKey(2)})
         out = np.asarray(out)
         assert (out[:, 0] == 2).all() and (out[:, 1:] == 0).all()
