@@ -119,10 +119,12 @@ class TestFSDPTraining:
         }
         k = jax.random.PRNGKey(1)
 
-        s_ref, m_ref = step(TrainState.create(params, tx), batch, k)
-
+        # the train step DONATES its state — shard a copy before the
+        # reference step consumes the original param buffers
         mesh = make_mesh(dp=2, fsdp=4)
-        sp = shard_params(mesh, params)
+        sp = shard_params(mesh, jax.tree.map(jnp.copy, params))
+
+        s_ref, m_ref = step(TrainState.create(params, tx), batch, k)
         s_sh, m_sh = step(TrainState.create(sp, tx),
                           shard_batch(mesh, batch), k)
         np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
