@@ -167,3 +167,63 @@ def mel_statistics_embedding(wavs, sr: int, n_mels: int = 64,
     std = logm.std(axis=-1)
     dmean = jnp.abs(jnp.diff(logm, axis=-1)).mean(axis=-1)
     return jnp.concatenate([mean, std, dmean], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Classifier-based generative metrics (the paper's KL / IS columns)
+# ---------------------------------------------------------------------------
+
+def paired_kl_divergence(logits_eval, logits_ref, kind: str = "softmax"
+                         ) -> float:
+    """Paired KL divergence between classifier logits of generated and
+    reference clips — the "KL" column of the EzAudio paper's tables
+    (audioldm_eval convention: per-pair KL(p_ref || p_gen), averaged).
+
+    ``kind='softmax'`` treats logits as one multiclass distribution per
+    clip; ``kind='sigmoid'`` as independent per-class Bernoullis (both are
+    reported by audioldm_eval).  Classifier-agnostic: feed logits from any
+    tagger (e.g. a PANNs-style CNN14 given local weights).
+    """
+    import numpy as np
+
+    le = np.asarray(logits_eval, np.float64)
+    lr = np.asarray(logits_ref, np.float64)
+    if le.shape != lr.shape:
+        raise ValueError(f"paired metric needs matching shapes, got "
+                         f"{le.shape} vs {lr.shape}")
+    if kind == "softmax":
+        def logsm(x):
+            x = x - x.max(axis=-1, keepdims=True)
+            return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+        p_ref = np.exp(logsm(lr))
+        kl = (p_ref * (logsm(lr) - logsm(le))).sum(axis=-1)
+    elif kind == "sigmoid":
+        def sig(x):
+            return 1.0 / (1.0 + np.exp(-x))
+
+        pr, pe = sig(lr).clip(1e-7, 1 - 1e-7), sig(le).clip(1e-7, 1 - 1e-7)
+        kl = (pr * np.log(pr / pe)
+              + (1 - pr) * np.log((1 - pr) / (1 - pe))).sum(axis=-1)
+    else:
+        raise ValueError(f"kind must be softmax|sigmoid, got {kind!r}")
+    return float(kl.mean())
+
+
+def inception_score(probs, splits: int = 10) -> float:
+    """Inception Score over per-clip class probabilities (N, C) — the "IS"
+    column of the paper's tables: exp(E_x KL(p(y|x) || p(y))), averaged
+    over ``splits`` chunks (Salimans et al., arXiv 1606.03498; audio
+    variant uses a tagger's probabilities, e.g. PANNs)."""
+    import numpy as np
+
+    p = np.asarray(probs, np.float64).clip(1e-7, None)
+    p = p / p.sum(axis=-1, keepdims=True)
+    n = p.shape[0]
+    splits = max(1, min(splits, n))
+    scores = []
+    for part in np.array_split(p, splits):
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = (part * (np.log(part) - np.log(marginal))).sum(axis=-1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores))

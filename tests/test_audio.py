@@ -311,3 +311,44 @@ class TestPhaseVocoder:
 
         with np.testing.assert_raises(ValueError):
             time_stretch(np.zeros(100, np.float32), 0.0)
+
+
+class TestGenerativeMetrics:
+    """KL / IS columns of the paper's metric suite (audioldm_eval
+    conventions) — classifier-agnostic math on logits/probs."""
+
+    def test_kl_zero_for_identical_logits(self, rng):
+        from ezaudio_tpu.audio.metrics import paired_kl_divergence
+
+        l = rng.standard_normal((16, 10))
+        assert paired_kl_divergence(l, l) < 1e-12
+        assert paired_kl_divergence(l, l, kind="sigmoid") < 1e-12
+
+    def test_kl_positive_and_orders_by_divergence(self, rng):
+        from ezaudio_tpu.audio.metrics import paired_kl_divergence
+
+        l = rng.standard_normal((32, 10))
+        near = paired_kl_divergence(l + 0.1 * rng.standard_normal((32, 10)), l)
+        far = paired_kl_divergence(l + 2.0 * rng.standard_normal((32, 10)), l)
+        assert 0 < near < far
+
+    def test_kl_shape_mismatch_raises(self, rng):
+        from ezaudio_tpu.audio.metrics import paired_kl_divergence
+
+        with np.testing.assert_raises(ValueError):
+            paired_kl_divergence(np.zeros((4, 10)), np.zeros((5, 10)))
+
+    def test_inception_score_bounds(self, rng):
+        from ezaudio_tpu.audio.metrics import inception_score
+
+        # confident + diverse -> near n_classes; collapsed -> 1
+        onehot = np.eye(10)[rng.integers(0, 10, 200)] * 20.0
+        collapsed = np.tile(np.eye(10)[0] * 20.0, (200, 1))
+        hi = inception_score(onehot)
+        lo = inception_score(collapsed)
+        assert abs(lo - 1.0) < 1e-9 and 4.0 < hi <= 10.0
+
+    def test_inception_score_uniform_probs_is_one(self, rng):
+        from ezaudio_tpu.audio.metrics import inception_score
+
+        assert abs(inception_score(np.full((100, 10), 0.1)) - 1.0) < 1e-9
