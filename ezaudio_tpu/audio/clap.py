@@ -78,9 +78,14 @@ def prepare_clap_audio(wav: np.ndarray, sr: int, *,
         if len(w) > max_len:
             start = (len(w) - max_len) // 2
             w = w[start:start + max_len]
-        elif len(w) < max_len and padding == "repeatpad" and len(w) > 0:
-            w = np.tile(w, max_len // len(w) + 1)[:max_len] \
-                if max_len // len(w) > 0 else w
+        elif len(w) < max_len and len(w) > 0:
+            # HF semantics (feature_extraction_clap.py): "repeatpad" tiles
+            # floor(max/len) whole copies then zero-pads the remainder;
+            # "repeat" tiles one extra copy and crops
+            if padding == "repeatpad":
+                w = np.tile(w, max_len // len(w))
+            elif padding == "repeat":
+                w = np.tile(w, max_len // len(w) + 1)[:max_len]
         out[b, :len(w)] = w[:max_len]
     mel = clap_log_mel(out, target_sr, fmax=fmax)
     return mel[:, None, :, :]
@@ -132,8 +137,12 @@ class CLAPScorer:
         else:
             ids = texts_or_ids
         ids = jnp.asarray(ids, jnp.int32)
-        mask = (jnp.ones_like(ids) if attention_mask is None
-                else jnp.asarray(attention_mask, jnp.int32))
+        if attention_mask is None:
+            # derive from the pad id so padded ids match transformers
+            # (all-ones would attend pads AND shift the RoBERTa positions)
+            mask = (ids != self.cfg.text.pad_token_id).astype(jnp.int32)
+        else:
+            mask = jnp.asarray(attention_mask, jnp.int32)
         return self._text_fwd(self.params, ids, mask)
 
     def score(self, wav: np.ndarray, sr: int, texts_or_ids,

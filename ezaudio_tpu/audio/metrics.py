@@ -89,6 +89,13 @@ def mel_spectrogram_loss(
 ) -> jnp.ndarray:
     """Multi-scale mel loss (audiotools spectral.py:98-193 defaults)."""
     fmax = fmax or [None] * len(n_mels)
+    if len(fmin) != len(n_mels):  # broadcast the length-2 default
+        fmin = tuple(fmin) * len(n_mels) if len(fmin) == 1 else \
+            (0.0,) * len(n_mels)
+    if len({len(n_mels), len(window_lengths), len(fmin), len(fmax)}) != 1:
+        raise ValueError(
+            f"scale lists must align: n_mels {len(n_mels)}, windows "
+            f"{len(window_lengths)}, fmin {len(fmin)}, fmax {len(fmax)}")
     loss = 0.0
     for nm, w, lo, hi in zip(n_mels, window_lengths, fmin, fmax):
         mx = mel_spectrogram(pred, sr, w, w // 4, nm, lo, hi)
@@ -130,6 +137,13 @@ def frechet_distance(mu1, cov1, mu2, cov2) -> float:
     cov1, cov2 = np.asarray(cov1), np.asarray(cov2)
     diff = mu1 - mu2
     covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    if not np.isfinite(covmean).all():
+        # rank-deficient covariances (e.g. fewer clips than embedding
+        # dims): retry with the standard eps*I offset every reference
+        # FID/FAD implementation uses
+        eps = 1e-6
+        off = np.eye(cov1.shape[0]) * eps
+        covmean, _ = linalg.sqrtm((cov1 + off) @ (cov2 + off), disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2)

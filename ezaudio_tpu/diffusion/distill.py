@@ -101,12 +101,21 @@ def v_target_from_endpoint(x: jnp.ndarray, x_target: jnp.ndarray,
 
 def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
                       schedule: DDIMSchedule, tx,
-                      tables: DistillTables) -> Callable:
+                      tables: DistillTables,
+                      teacher_params=None) -> Callable:
     """Build a jitted one-stage distillation train step.
 
     ``student_apply(params, x, t, batch) -> v``  (single batch, no CFG);
-    ``teacher_fn_builder(batch) -> teacher_fn(x, t) -> v_guided``  (the
-    teacher closure applies CFG internally — guidance is distilled in).
+    ``teacher_fn_builder(batch[, teacher_params]) -> teacher_fn(x, t) ->
+    v_guided``  (the teacher closure applies CFG internally — guidance is
+    distilled in).
+
+    Pass the frozen teacher tree via ``teacher_params`` (the builder then
+    receives it as a second argument): it rides the jit as a real argument
+    instead of being baked into the executable as HLO constants — closing
+    a multi-GB tree into the jitted step would re-upload it with the
+    program (the probe8 lesson; see CLAUDE.md).  The builder-closure form
+    (``teacher_params=None``) remains for small teachers.
 
     The returned step has the same (state, batch, rng) -> (state, metrics)
     contract as ``training.trainer.make_train_step``; ``batch`` must carry
@@ -117,7 +126,7 @@ def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
         "the closed-form target below is the v-parameterization; "
         "epsilon/sample variants follow from convert_output the same way")
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, t_params):
         x0 = batch["latents"]
         B = x0.shape[0]
         k_m, k_eps = jax.random.split(rng)
@@ -127,7 +136,8 @@ def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
         a_prev = tables.a_prev[m].reshape((B,) + (1,) * (x0.ndim - 1))
         x_t = jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * eps
 
-        teacher_fn = teacher_fn_builder(batch)
+        teacher_fn = (teacher_fn_builder(batch) if t_params is None
+                      else teacher_fn_builder(batch, t_params))
         x_tgt = jax.lax.stop_gradient(
             teacher_two_step_target(teacher_fn, schedule, x_t, m, tables))
         v_star = v_target_from_endpoint(x_t, x_tgt, a, a_prev)
@@ -138,9 +148,10 @@ def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
     import optax
 
     @jax.jit
-    def _step(state, batch, rng):
+    def _step(state, batch, rng, t_params):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, rng, t_params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
@@ -153,7 +164,7 @@ def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
         from ezaudio_tpu.ops.quant import quant_context
 
         with quant_context("off"):
-            return _step(state, batch, rng)
+            return _step(state, batch, rng, teacher_params)
 
     return step
 

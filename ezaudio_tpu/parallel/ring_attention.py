@@ -48,8 +48,7 @@ def _ring_body(q, k, v, kmask, *, scale: float, axis: str, steps: int):
     B, H, Lq, D = q.shape
     q32 = q.astype(jnp.float32)
 
-    def step(carry, _):
-        k_blk, v_blk, m_blk, m, l, acc = carry
+    def accum(k_blk, v_blk, m_blk, m, l, acc):
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", q32, k_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32) * jnp.float32(scale)
@@ -61,16 +60,26 @@ def _ring_body(q, k, v, kmask, *, scale: float, axis: str, steps: int):
         acc_new = acc * corr + jnp.einsum(
             "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32)
-        k_blk = jax.lax.ppermute(k_blk, axis, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis, perm)
-        m_blk = jax.lax.ppermute(m_blk, axis, perm)
-        return (k_blk, v_blk, m_blk, m_new, l_new, acc_new), None
+        return m_new, l_new, acc_new
 
+    # local block first, then sp-1 rotate-then-accumulate hops — exactly
+    # sp-1 ppermutes total (a rotate-last loop would pay one extra dead
+    # ICI hop per call: XLA does not eliminate collectives inside scan)
     m0 = jnp.full((B, H, Lq, 1), -neg, jnp.float32)
     l0 = jnp.zeros((B, H, Lq, 1), jnp.float32)
     acc0 = jnp.zeros((B, H, Lq, D), jnp.float32)
+    m, l, acc = accum(k, v, kmask, m0, l0, acc0)
+
+    def step(carry, _):
+        k_blk, v_blk, m_blk, m, l, acc = carry
+        k_blk = jax.lax.ppermute(k_blk, axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        m_blk = jax.lax.ppermute(m_blk, axis, perm)
+        m, l, acc = accum(k_blk, v_blk, m_blk, m, l, acc)
+        return (k_blk, v_blk, m_blk, m, l, acc), None
+
     (_, _, _, _, l, acc), _ = jax.lax.scan(
-        step, (k, v, kmask, m0, l0, acc0), None, length=sp)
+        step, (k, v, kmask, m, l, acc), None, length=sp - 1)
     out = acc / jnp.maximum(l, jnp.float32(1e-30))
     return out.astype(v.dtype)
 

@@ -54,8 +54,10 @@ class GenerationServer:
         self.ez = ez
         self.max_batch_size = max_batch_size
         self.max_wait = max_wait_ms / 1000.0
-        self.buckets = sorted(batch_buckets or
-                              [b for b in (1, 2, 4, 8, 16) if b <= max_batch_size])
+        self.buckets = sorted(set(
+            list(batch_buckets
+                 or [b for b in (1, 2, 4, 8, 16) if b <= max_batch_size])
+            + [max_batch_size]))  # always a bucket >= any drained batch
         self.gen_kwargs = dict(length=length, ddim_steps=ddim_steps,
                                guidance_scale=guidance_scale,
                                guidance_rescale=guidance_rescale,
@@ -76,6 +78,13 @@ class GenerationServer:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
+        # resolve still-queued requests so no waiter blocks forever
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.future.cancel()
 
     def __enter__(self):
         return self.start()
@@ -96,11 +105,22 @@ class GenerationServer:
         return self.submit(text, seed).result(timeout)
 
     # ------------------------------------------------------------------
+    def _slot_noise(self, seed: int) -> np.ndarray:
+        """(frames, latent_dim) starting noise for one slot, identical to
+        what a solo ``generate_audio(random_seed=seed)`` would draw
+        (PRNGKey(seed) -> split -> k_noise -> normal)."""
+        import jax
+
+        frames = int(self.gen_kwargs["length"] * self.ez.latent_sr)
+        k_noise, _ = jax.random.split(jax.random.PRNGKey(int(seed)))
+        return np.asarray(jax.random.normal(
+            k_noise, (1, frames, self.ez.latent_dim)))[0]
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
                 return b
-        return self.buckets[-1]
+        return n  # unreachable (max_batch_size is always a bucket)
 
     def _drain(self) -> List[_Request]:
         try:
@@ -129,16 +149,29 @@ class GenerationServer:
                 continue
             n = len(batch)
             size = self._bucket(n)
-            texts = [r.text for r in batch] + [""] * (size - n)
+            # pad slots repeat real prompts: an empty-string pad would trip
+            # the reference's "empty prompt -> CFG off" rule for the whole
+            # batch (api/ezaudio.py generate_audio); batch elements are
+            # independent through the model, so duplicates are harmless
+            texts = [batch[i % n].text for i in range(size)]
             self.stats["batches"] += 1
             self.stats["padded_slots"] += size - n
             try:
-                # one seed per batch; per-request determinism comes from the
-                # request seed folded into position. For strict per-request
-                # reproducibility across batch compositions, submit with
-                # batch_size 1 buckets.
+                # per-request seeds: each slot's starting noise comes from
+                # that request's own PRNGKey (matching a solo
+                # generate_audio(random_seed=seed) draw), so a (text, seed)
+                # pair reproduces across batch compositions — exactly for
+                # the deterministic samplers (eta=0 ddim / dpm); the shared
+                # eta-noise stream still follows batch[0].seed
+                extra = {}
+                if hasattr(self.ez, "latent_sr") and hasattr(self.ez,
+                                                             "latent_dim"):
+                    extra["initial_latents"] = np.stack([
+                        self._slot_noise(batch[i % n].seed)
+                        for i in range(size)])
                 sr, wavs = self.ez.generate_audio(
-                    texts, random_seed=batch[0].seed, **self.gen_kwargs)
+                    texts, random_seed=batch[0].seed, **extra,
+                    **self.gen_kwargs)
                 for i, r in enumerate(batch):
                     r.future.set_result((sr, np.asarray(wavs[i])))
             except Exception as e:  # propagate to all waiters

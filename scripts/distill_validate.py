@@ -94,9 +94,10 @@ def main():
         out, _ = model.apply({"params": p}, x, t, batch["text"])
         return out
 
-    def make_teacher_builder(t_params, w):
-        """Guided teacher: cond/uncond pair inside the closure."""
-        def builder(batch):
+    def make_teacher_builder(w):
+        """Guided teacher: cond/uncond pair; teacher params arrive as a
+        jit argument (not closure constants — CLAUDE.md probe8 lesson)."""
+        def builder(batch, t_params):
             def fn(x, t):
                 t = jnp.broadcast_to(t, (x.shape[0],))
                 pair = jnp.concatenate([x, x], axis=0)
@@ -110,10 +111,10 @@ def main():
             return fn
         return builder
 
-    def make_plain_builder(t_params):
+    def make_plain_builder():
         """Unguided teacher (later stages distill the already-guided
         student, so no CFG pair is needed)."""
-        def builder(batch):
+        def builder(batch, t_params):
             def fn(x, t):
                 return student_apply(t_params, x, t, batch)
             return fn
@@ -123,12 +124,12 @@ def main():
     t_params = teacher_params
     for si, n_student in enumerate((8, 4)):
         tables = distill_tables(schedule, n_student)
-        builder = (make_teacher_builder(t_params, guidance) if si == 0
-                   else make_plain_builder(t_params))
+        builder = (make_teacher_builder(guidance) if si == 0
+                   else make_plain_builder())
         tx_s = make_optimizer(t_params, learning_rate=1e-4, warmup=100)
         st = TrainState.create(t_params, tx_s)
         dstep = make_distill_step(student_apply, builder, schedule, tx_s,
-                                  tables)
+                                  tables, teacher_params=t_params)
         t0 = time.time()
         for i in range(distill_steps):
             lat, txt, _ = make_batch(rng, B)

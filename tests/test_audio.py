@@ -352,3 +352,40 @@ class TestGenerativeMetrics:
         from ezaudio_tpu.audio.metrics import inception_score
 
         assert abs(inception_score(np.full((100, 10), 0.1)) - 1.0) < 1e-9
+
+
+class TestMetricsReviewFixes:
+    def test_frechet_rank_deficient_finite(self, rng):
+        # fewer clips than embedding dims -> singular covariances; the
+        # eps*I retry must keep the distance finite
+        from ezaudio_tpu.audio.metrics import frechet_audio_distance
+
+        a = rng.standard_normal((20, 50))
+        b = rng.standard_normal((20, 50)) + 1.0
+        d = frechet_audio_distance(a, b)
+        assert np.isfinite(d) and d > 0
+
+    def test_mel_loss_broadcasts_default_fmin(self, rng):
+        # 3 scales with the length-2 default fmin must not silently drop
+        # the third scale
+        import jax.numpy as jnp
+
+        from ezaudio_tpu.audio.metrics import mel_spectrogram_loss
+
+        x = jnp.asarray(rng.standard_normal((1, 4096)), jnp.float32)
+        y = jnp.asarray(rng.standard_normal((1, 4096)), jnp.float32)
+        kw = dict(sr=16000, n_mels=(80, 40, 20),
+                  window_lengths=(1024, 512, 256))
+        got = mel_spectrogram_loss(x, y, **kw)
+        want = mel_spectrogram_loss(x, y, fmin=(0.0, 0.0, 0.0), **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    def test_mel_loss_mismatched_lists_raise(self, rng):
+        import jax.numpy as jnp
+
+        from ezaudio_tpu.audio.metrics import mel_spectrogram_loss
+
+        x = jnp.zeros((1, 2048))
+        with np.testing.assert_raises(ValueError):
+            mel_spectrogram_loss(x, x, n_mels=(80, 40, 20),
+                                 window_lengths=(1024, 512))

@@ -189,3 +189,43 @@ class TestScorer:
         s = np.sum(np.asarray(emb_a) * np.asarray(emb_t), axis=-1)
         assert s.shape == (2,)
         assert np.all(np.abs(s) <= 1.0 + 1e-5)
+
+
+class TestReviewFixes:
+    def test_repeatpad_matches_hf_extractor(self):
+        """Short-clip padding must reproduce HF's repeatpad (tile floor +
+        zero-pad), not 'repeat' (tile + crop)."""
+        from transformers import ClapFeatureExtractor
+
+        from ezaudio_tpu.audio.clap import prepare_clap_audio
+
+        fe = ClapFeatureExtractor(truncation="rand_trunc")
+        rng = np.random.default_rng(8)
+        wav = (rng.standard_normal(6 * 48000) * 0.1).astype(np.float32)  # 6 s
+        want = np.asarray(
+            fe(wav, sampling_rate=48000, return_tensors="np")
+            .input_features)
+        got = prepare_clap_audio(wav, 48000)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   atol=2e-3, rtol=1e-4)
+
+    def test_embed_text_default_mask_from_pad_id(self, tiny_pair):
+        """embed_text without an explicit mask must mask pad ids (not
+        attend them with an all-ones mask)."""
+        ref, model, params, cfg = tiny_pair
+        from ezaudio_tpu.audio.clap import CLAPScorer
+
+        scorer = CLAPScorer(cfg=cfg)
+        scorer.params = params
+        rng = np.random.default_rng(9)
+        ids = rng.integers(3, 120, (2, 10)).astype(np.int64)
+        ids[:, 0] = 0
+        ids[0, 6:] = 1  # pad tail
+        mask = (ids != 1).astype(np.int64)
+        with torch.no_grad():
+            want = ref.get_text_features(
+                torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask)).numpy()
+        got = np.asarray(scorer.embed_text(ids))   # no mask passed
+        np.testing.assert_allclose(got, want, atol=2e-4)

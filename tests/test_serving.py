@@ -101,3 +101,59 @@ class TestServerRecipePassthrough:
             outs = [f.result(timeout=300) for f in futs]
         for sr, wav in outs:
             assert np.isfinite(wav).all() and wav.ndim == 1
+
+
+class TestServingReviewFixes:
+    """Regression tests for the round-2 review findings."""
+
+    def test_pads_never_empty_string(self):
+        # "" pads would trip generate_audio's "empty prompt -> CFG off"
+        # rule for the whole batch; pads must repeat real prompts
+        ez = FakeEz()
+        with GenerationServer(ez, max_batch_size=8, max_wait_ms=100,
+                              batch_buckets=[4, 8]) as srv:
+            futs = [srv.submit(f"x{i}") for i in range(3)]
+            [f.result(timeout=10) for f in futs]
+        assert all(all(t != "" for t in c) for c in ez.calls)
+
+    def test_bucket_covers_max_batch_size(self):
+        # buckets smaller than max_batch_size must not shrink a batch
+        ez = FakeEz(delay=0.05)
+        with GenerationServer(ez, max_batch_size=3, max_wait_ms=300) as srv:
+            futs = [srv.submit(f"p{i}") for i in range(3)]
+            res = [f.result(timeout=10) for f in futs]
+        assert len(res) == 3
+        assert all(len(c) <= 3 for c in ez.calls)
+        assert srv.stats["padded_slots"] >= 0
+
+    def test_stop_cancels_queued_requests(self):
+        import concurrent.futures
+
+        ez = FakeEz(delay=0.2)
+        srv = GenerationServer(ez, max_batch_size=1, max_wait_ms=5).start()
+        futs = [srv.submit(f"q{i}") for i in range(20)]
+        srv.stop()
+        # every future must resolve one way or another — no eternal waiter
+        done = 0
+        for f in futs:
+            try:
+                f.result(timeout=5)
+                done += 1
+            except (concurrent.futures.CancelledError, Exception):
+                done += 1
+        assert done == 20
+
+    def test_per_request_seed_reproducible_across_batches(self):
+        """A (text, seed) pair must reproduce regardless of batch
+        composition (deterministic sampler)."""
+        from tests.tiny_config import make_tiny_ezaudio
+
+        ez = make_tiny_ezaudio()
+        kw = dict(length=2.0, ddim_steps=6, sampler="dpm", max_wait_ms=200)
+        with GenerationServer(ez, max_batch_size=2, **kw) as srv:
+            f1 = srv.submit("rain", seed=5)
+            f2 = srv.submit("a dog", seed=9)
+            _, wav_batched = f1.result(timeout=600)
+        with GenerationServer(ez, max_batch_size=1, **kw) as srv:
+            _, wav_solo = srv.generate("rain", seed=5, timeout=600)
+        np.testing.assert_allclose(wav_batched, wav_solo, atol=1e-4)
