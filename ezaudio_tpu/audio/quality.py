@@ -39,7 +39,9 @@ def _stft_frames(x: np.ndarray, win: int, hop: int, n_fft: int):
 def stoi(estimate: np.ndarray, reference: np.ndarray, fs: int,
          extended: bool = False) -> float:
     """STOI in [~-1, 1]; inputs are 1-D waveforms at any rate (resampled to
-    10 kHz internally, as the metric specifies)."""
+    10 kHz internally, as the metric specifies).  ``extended=True``
+    computes ESTOI (Jensen & Taal 2016: row/column-normalized segment
+    inner products, no clipping)."""
     from ezaudio_tpu.data.audio_io import resample
 
     FS = 10000
@@ -72,10 +74,25 @@ def stoi(estimate: np.ndarray, reference: np.ndarray, fs: int,
     Xb = np.sqrt(obm @ (X.T**2)).T  # (frames, bands)
     Yb = np.sqrt(obm @ (Y.T**2)).T
 
+    def _rc_norm(s):
+        # ESTOI row/column normalization (Jensen & Taal 2016): each band's
+        # time-vector to zero-mean unit-norm, then each frame's
+        # band-vector likewise
+        s = s - s.mean(0, keepdims=True)
+        s = s / (np.linalg.norm(s, axis=0, keepdims=True) + 1e-12)
+        s = s - s.mean(1, keepdims=True)
+        s = s / (np.linalg.norm(s, axis=1, keepdims=True) + 1e-12)
+        return s
+
     d = []
     for m in range(N, len(Xb) + 1):
         seg_x = Xb[m - N : m]  # (N, bands)
         seg_y = Yb[m - N : m]
+        if extended:
+            # ESTOI: no clipping/scaling; inner product of the doubly
+            # normalized segments averaged over frames
+            d.append(float(np.sum(_rc_norm(seg_x) * _rc_norm(seg_y)) / N))
+            continue
         alpha = np.sqrt((seg_x**2).sum(0) / ((seg_y**2).sum(0) + 1e-12))
         y_scaled = seg_y * alpha[None]
         y_clip = np.minimum(y_scaled, seg_x * (1 + 10 ** (-BETA / 20)))

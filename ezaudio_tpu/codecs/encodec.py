@@ -128,11 +128,19 @@ class SEANetDecoder(nn.Module):
             h = LSTMStack(mult * self.n_filters, dtype=self.dtype, name="lstm")(h)
         for i, ratio in enumerate(self.ratios):
             h = nn.elu(h)
+            L_in = h.shape[1]
+            # full (L-1)*r + 2r output, then trim r samples asymmetrically
+            # (ceil left / floor right, upstream encodec's unpad) so each
+            # stage emits exactly r*L — a symmetric ceil(r/2) pad over-trims
+            # odd ratios by one and the deficit multiplies through the
+            # remaining upsampling
             h = ConvTranspose1d(mult * self.n_filters,
                                 mult * self.n_filters // 2, 2 * ratio,
-                                stride=ratio, padding=math.ceil(ratio / 2),
+                                stride=ratio, padding=0,
                                 weight_norm=self.use_weight_norm,
                                 dtype=self.dtype, name=f"up{i}")(h)
+            left = ratio - ratio // 2
+            h = h[:, left : left + ratio * L_in]
             for j in range(self.n_residual_layers):
                 h = SEANetResnetBlock(mult * self.n_filters // 2,
                                       use_weight_norm=self.use_weight_norm,
@@ -166,8 +174,13 @@ class EncodecVQ(nn.Module):
         idx = jnp.argmin(d, axis=1).reshape(B, T)
         z_q = cb[idx]
         commit = jnp.mean(jnp.square(z - jax.lax.stop_gradient(z_q)))
+        # codebook loss pulls the selected codes toward the (frozen)
+        # encoder output — the gradient path that trains the codebooks
+        # (VQ-VAE form; upstream encodec uses EMA updates instead, which
+        # don't fit a pure-functional grad step — same fixed points)
+        codebook = jnp.mean(jnp.square(jax.lax.stop_gradient(z) - z_q))
         z_q = z + jax.lax.stop_gradient(z_q - z)
-        return z_q, idx, commit
+        return z_q, idx, commit, codebook
 
     def decode(self, idx):
         return self.codebook.astype(self.dtype)[idx]
@@ -184,13 +197,19 @@ class EncodecRVQ(nn.Module):
                                  dtype=self.dtype, name=f"vq{i}")
                        for i in range(self.n_q)]
 
+    def _check_n_q(self, n_q: Optional[int]) -> int:
+        n = self.n_q if n_q is None else int(n_q)
+        if not 1 <= n <= self.n_q:
+            raise ValueError(f"n_q must be in [1, {self.n_q}], got {n_q}")
+        return n
+
     def encode(self, z, n_q: Optional[int] = None):
         """-> codes (B, N, T)."""
-        n = n_q or self.n_q
+        n = self._check_n_q(n_q)
         residual = z
         codes = []
         for i in range(n):
-            z_q, idx, _ = self.layers[i](residual)
+            z_q, idx, _, _ = self.layers[i](residual)
             residual = residual - z_q
             codes.append(idx)
         return jnp.stack(codes, axis=1)
@@ -202,18 +221,20 @@ class EncodecRVQ(nn.Module):
         return z
 
     def __call__(self, z, n_q: Optional[int] = None):
-        n = n_q or self.n_q
+        n = self._check_n_q(n_q)
         residual = z
         z_q = jnp.zeros_like(z)
         commit = 0.0
+        codebook = 0.0
         codes = []
         for i in range(n):
-            q_i, idx, c_i = self.layers[i](residual)
+            q_i, idx, c_i, cb_i = self.layers[i](residual)
             residual = residual - q_i
             z_q = z_q + q_i
             commit = commit + c_i
+            codebook = codebook + cb_i
             codes.append(idx)
-        return z_q, jnp.stack(codes, axis=1), commit
+        return z_q, jnp.stack(codes, axis=1), commit, codebook
 
 
 class Encodec(nn.Module):
@@ -252,7 +273,9 @@ class Encodec(nn.Module):
 
     def __call__(self, audio, n_q: Optional[int] = None):
         z = self.encoder(audio)
-        z_q, codes, commit = self.quantizer(z, n_q)
+        z_q, codes, commit, codebook = self.quantizer(z, n_q)
         out = self.decoder(z_q)
         return {"audio": out[:, : audio.shape[1]], "codes": codes,
-                "z": z_q, "commitment_loss": commit}
+                "z": z_q, "commitment_loss": commit,
+                # codec_trainer's VQ branch reads the namespaced keys
+                "vq/commitment_loss": commit, "vq/codebook_loss": codebook}

@@ -147,10 +147,12 @@ class PQMFPretransform(Pretransform):
         k = self.filters.shape[1]
         pad = k - 1 - k // 2
         # synthesis: upsample each band by M and filter with the
-        # time-reversed analysis filters, scaled by M
+        # time-reversed analysis filters, scaled by M.  The dilated input
+        # is (L-1)*M+1 long; pad the tail M-1 extra so the output honours
+        # the documented (B, L*M, 1) length contract exactly
         kern = (self.filters[:, ::-1].T * M)[:, :, None]  # (taps+1, M, 1)
         y = jax.lax.conv_general_dilated(
-            z, kern, window_strides=(1,), padding=[(pad, pad)],
+            z, kern, window_strides=(1,), padding=[(pad, pad + M - 1)],
             lhs_dilation=(M,), dimension_numbers=("NHC", "HIO", "NHC"))
         return y
 

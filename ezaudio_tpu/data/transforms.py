@@ -25,6 +25,15 @@ from ezaudio_tpu.audio import effects
 from ezaudio_tpu.audio.signal import AudioSignal
 
 
+def _fit_length(x: np.ndarray, n: int) -> np.ndarray:
+    """Trim / zero-pad the time axis to exactly ``n`` samples (duration
+    round-trips through seconds can come back one sample short)."""
+    x = x[..., :n]
+    if x.shape[-1] < n:
+        x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+    return x
+
+
 def _uniform(rng, lo, hi):
     return float(rng.uniform(lo, hi))
 
@@ -91,21 +100,24 @@ class BackgroundNoise(BaseTransform):
         self.sources = list(sources or [])
 
     def _instantiate(self, rng):
-        out = {"snr": _uniform(rng, *self.snr)}
+        out = {"snr": _uniform(rng, *self.snr),
+               "seed": int(rng.integers(2**31 - 1))}
         if self.sources:
             out["source"] = self.sources[int(rng.integers(len(self.sources)))]
         return out
 
-    def _transform(self, signal, snr, source=None):
+    def _transform(self, signal, snr, seed, source=None):
+        state = np.random.default_rng(seed)
         if source is not None:
             noise = AudioSignal.excerpt(source, signal.signal_duration,
-                                        sr=signal.sample_rate)
+                                        state=state, sr=signal.sample_rate)
             noise_data = noise.audio_data
         else:  # white noise fallback
-            noise_data = np.random.default_rng(0).standard_normal(
+            noise_data = state.standard_normal(
                 signal.audio_data.shape).astype(np.float32) * 0.1
         signal.audio_data = effects.mix(
-            signal.audio_data, noise_data[..., : signal.signal_length],
+            signal.audio_data,
+            _fit_length(noise_data, signal.signal_length),
             signal.sample_rate, snr)
         return signal
 
@@ -250,14 +262,6 @@ class Repeat(BaseTransform):
 # TimeMask, CorruptPhase, ShiftPhase, InvertPhase, Smoothing, Silence)
 # ---------------------------------------------------------------------------
 
-def _stft_np(x, n_fft=2048, hop=512):
-    import jax.numpy as jnp
-
-    from ezaudio_tpu.audio.stft import istft, stft
-
-    return stft, istft, jnp
-
-
 class _SpectralTransform(BaseTransform):
     n_fft: int = 2048
     hop: int = 512
@@ -338,7 +342,7 @@ class ShiftPhase(_SpectralTransform):
 
 
 class CorruptPhase(_SpectralTransform):
-    def __init__(self, scale: Tuple[float, float] = (0.1, 1.0), seed: int = 0, **kw):
+    def __init__(self, scale: Tuple[float, float] = (0.1, 1.0), **kw):
         super().__init__(**kw)
         self.scale = scale
 
@@ -465,16 +469,18 @@ class CrossTalk(BaseTransform):
         loudness = signal.loudness()
         if source is not None:
             other = AudioSignal.excerpt(
-                source, signal.signal_duration, sr=signal.sample_rate)
+                source, signal.signal_duration,
+                state=np.random.default_rng(seed), sr=signal.sample_rate)
             other_data = np.broadcast_to(
-                other.audio_data, signal.audio_data.shape)
+                _fit_length(other.audio_data, signal.signal_length),
+                signal.audio_data.shape)
         else:  # synthetic talker: band-limited noise
             other_data = np.random.default_rng(seed).standard_normal(
                 signal.audio_data.shape).astype(np.float32)
             other_data = effects.lowpass_biquad(
                 other_data, signal.sample_rate, 3500.0)
         signal.audio_data = effects.mix(
-            signal.audio_data, other_data[..., : signal.signal_length],
+            signal.audio_data, _fit_length(other_data, signal.signal_length),
             signal.sample_rate, snr)
         if np.isfinite(loudness):
             signal.normalize(loudness)

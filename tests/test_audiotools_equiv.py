@@ -475,3 +475,50 @@ class TestSpectralGatePerChannel:
         # (the old [:1] broadcast used the LEFT threshold for both channels
         # and kept the right-channel noise; per-channel stats fix that)
         assert np.square(out[0, 0]).mean() > 0.25 * np.square(tone).mean()
+
+
+class TestTransformReviewFixes:
+    def test_background_noise_varies_across_draws(self):
+        """The white-noise fallback must draw from the per-call seed, not
+        a fixed Generator(0)."""
+        from ezaudio_tpu.data.transforms import BackgroundNoise
+
+        sr = 8000
+        tfm = BackgroundNoise(snr=(10, 10))
+        rng = np.random.default_rng(0)
+        base = AudioSignal(np.zeros(sr, np.float32) + 1e-4, sr)
+        out1 = tfm(base.clone(), rng)
+        out2 = tfm(base.clone(), rng)
+        assert np.abs(out1.audio_data - out2.audio_data).max() > 1e-6
+        # and reproducible under an identical generator state
+        out3 = tfm(base.clone(), np.random.default_rng(0))
+        out4 = tfm(base.clone(), np.random.default_rng(0))
+        np.testing.assert_array_equal(out3.audio_data, out4.audio_data)
+
+    def test_crosstalk_source_odd_length(self, tmp_path):
+        """Excerpt duration round-trips used to come back one sample short
+        and crash the broadcast for odd lengths."""
+        from ezaudio_tpu.data.audio_io import save_wav
+        from ezaudio_tpu.data.transforms import CrossTalk
+
+        sr = 44100
+        rng = np.random.default_rng(0)
+        src = str(tmp_path / "talker.wav")
+        save_wav(src, (0.2 * rng.standard_normal(3 * sr)).astype(np.float32), sr)
+        x = (0.3 * rng.standard_normal(132299)).astype(np.float32)  # odd
+        sig = AudioSignal(x, sr)
+        out = CrossTalk(snr=(5, 5), sources=[src])(sig, rng)
+        assert out.audio_data.shape[-1] == 132299
+        assert np.isfinite(out.audio_data).all()
+
+    def test_background_noise_source_odd_length(self, tmp_path):
+        from ezaudio_tpu.data.audio_io import save_wav
+        from ezaudio_tpu.data.transforms import BackgroundNoise
+
+        sr = 44100
+        rng = np.random.default_rng(0)
+        src = str(tmp_path / "noise.wav")
+        save_wav(src, (0.2 * rng.standard_normal(3 * sr)).astype(np.float32), sr)
+        sig = AudioSignal((0.3 * rng.standard_normal(132299)).astype(np.float32), sr)
+        out = BackgroundNoise(snr=(10, 10), sources=[src])(sig, rng)
+        assert out.audio_data.shape[-1] == 132299

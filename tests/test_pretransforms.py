@@ -110,3 +110,18 @@ class TestWaveletPretransform:
 
         with np.testing.assert_raises(ValueError):
             wavelet_filters("bior4.4")
+
+
+class TestPQMFLengthContract:
+    def test_decode_length_is_exact(self):
+        """decode must honour the documented (B, L*M, 1) length (the
+        dilated conv used to come back M-1 samples short)."""
+        import jax.numpy as jnp
+
+        pq = PQMFPretransform(num_bands=8, taps=124)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 4096, 1)).astype(np.float32))
+        z = pq.encode(x)
+        y = pq.decode(z)
+        assert z.shape == (1, 512, 8)
+        assert y.shape == (1, 4096, 1), y.shape

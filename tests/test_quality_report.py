@@ -240,3 +240,29 @@ class TestDisplay:
         assert os.path.getsize(p) > 1000
         uri = spec_data_uri(wav, sr)
         assert uri.startswith("data:image/png;base64,")
+
+
+class TestESTOI:
+    def _speechish(self, seed, sr=10000, secs=3):
+        rng = np.random.default_rng(seed)
+        t = np.arange(secs * sr) / sr
+        env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t)
+        return (env * rng.standard_normal(len(t))).astype(np.float32)
+
+    def test_identical_is_one(self):
+        from ezaudio_tpu.audio.quality import stoi
+
+        x = self._speechish(0)
+        assert abs(stoi(x, x, 10000, extended=True) - 1.0) < 1e-6
+
+    def test_monotone_in_snr_and_differs_from_classic(self):
+        from ezaudio_tpu.audio.quality import stoi
+
+        x = self._speechish(0)
+        rng = np.random.default_rng(1)
+        n = rng.standard_normal(len(x)).astype(np.float32)
+        lo = stoi(x + 1.5 * n, x, 10000, extended=True)
+        hi = stoi(x + 0.3 * n, x, 10000, extended=True)
+        assert lo < hi < 1.0
+        classic = stoi(x + 0.3 * n, x, 10000, extended=False)
+        assert abs(hi - classic) > 1e-6  # extended flag must change result
