@@ -41,10 +41,13 @@ def mix(signal: np.ndarray, other: np.ndarray, sr: int, snr: float = 10.0
 
 
 def apply_ir(signal: np.ndarray, ir: np.ndarray) -> np.ndarray:
-    """Convolve with an impulse response, peak-aligned and length-preserving
-    (effects.py convolve)."""
+    """Convolve with an impulse response along time, peak-aligned and
+    length-preserving (effects.py convolve).  ``signal`` may be (..., T);
+    a 1-D ``ir`` broadcasts over the leading axes."""
     peak = int(np.argmax(np.abs(ir)))
-    out = fftconvolve(signal, ir, mode="full")
+    if ir.ndim < signal.ndim:
+        ir = np.reshape(ir, (1,) * (signal.ndim - ir.ndim) + ir.shape)
+    out = fftconvolve(signal, ir, mode="full", axes=-1)
     return out[..., peak : peak + signal.shape[-1]].astype(np.float32)
 
 

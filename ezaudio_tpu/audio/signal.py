@@ -56,11 +56,8 @@ class AudioSignal:
         return cls(wav, rate)
 
     @classmethod
-    def excerpt(cls, path: str, duration: float, state: Optional[np.random.Generator] = None,
-                sr: Optional[int] = None) -> "AudioSignal":
-        """Random fixed-duration excerpt (audio_signal.py excerpt)."""
-        sig = cls.load(path, sr=sr)
-        rng = state or np.random.default_rng()
+    def _excerpt_of(cls, sig: "AudioSignal", duration: float,
+                    rng: np.random.Generator) -> "AudioSignal":
         n = int(duration * sig.sample_rate)
         total = sig.signal_length
         start = int(rng.integers(0, max(total - n, 0) + 1))
@@ -70,16 +67,25 @@ class AudioSignal:
         return cls(out, sig.sample_rate)
 
     @classmethod
+    def excerpt(cls, path: str, duration: float, state: Optional[np.random.Generator] = None,
+                sr: Optional[int] = None) -> "AudioSignal":
+        """Random fixed-duration excerpt (audio_signal.py excerpt)."""
+        return cls._excerpt_of(cls.load(path, sr=sr), duration,
+                               state or np.random.default_rng())
+
+    @classmethod
     def salient_excerpt(cls, path: str, duration: float,
                         loudness_cutoff: float = -40.0, max_tries: int = 8,
                         state: Optional[np.random.Generator] = None,
                         sr: Optional[int] = None) -> "AudioSignal":
         """Re-draw excerpts until one is louder than the cutoff
-        (audio_signal.py salient_excerpt)."""
+        (audio_signal.py salient_excerpt).  The file is decoded/resampled
+        ONCE; only the window is redrawn per try."""
         rng = state or np.random.default_rng()
+        sig = cls.load(path, sr=sr)
         best = None
         for _ in range(max_tries):
-            ex = cls.excerpt(path, duration, state=rng, sr=sr)
+            ex = cls._excerpt_of(sig, duration, rng)
             if ex.loudness() > loudness_cutoff:
                 return ex
             best = ex
@@ -133,14 +139,20 @@ class AudioSignal:
         self.audio_data = self.audio_data / (np.abs(self.audio_data).max() + eps)
         return self
 
-    def loudness(self) -> float:
-        return integrated_loudness(self.audio_data[0].T, self.sample_rate)
+    def loudness(self):
+        """Integrated LUFS — a float for batch 1, (B,) array otherwise
+        (per-item, matching audiotools; a single item-0 measurement would
+        mis-normalize every other batch item)."""
+        vals = np.array([integrated_loudness(item.T, self.sample_rate)
+                         for item in self.audio_data])
+        return float(vals[0]) if len(vals) == 1 else vals
 
     def normalize(self, db: float = -24.0) -> "AudioSignal":
-        """Loudness-normalize to target LUFS (audiotools effects normalize)."""
-        cur = self.loudness()
-        if np.isfinite(cur):
-            self.audio_data = self.audio_data * 10 ** ((db - cur) / 20)
+        """Loudness-normalize each item to target LUFS (audiotools effects
+        normalize)."""
+        cur = np.atleast_1d(self.loudness())
+        gain = np.where(np.isfinite(cur), 10.0 ** ((db - cur) / 20), 1.0)
+        self.audio_data = self.audio_data * gain[:, None, None]
         return self
 
     def ensure_max_of_audio(self, maximum: float = 1.0) -> "AudioSignal":

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ezaudio_tpu.codecs.oobleck import vae_sample
+from ezaudio_tpu.codecs.oobleck import vae_from_config, vae_sample
 
 
 class AutoencoderFacade:
@@ -140,22 +140,28 @@ class AutoencoderFacade:
     # ------------------------------------------------------------------
     def encode_audio(self, audio, chunked: bool = False, overlap: int = 32,
                      chunk_size: int = 128, **kw):
-        if not chunked:
-            return self.encode(audio, **kw)
         spl = self.downsampling_ratio
         chunk_samps, overlap_samps = chunk_size * spl, overlap * spl
-        hop = chunk_samps - overlap_samps
         total = audio.shape[1]
+        # a short input fits one call — the stitching math below assumes
+        # at least one full chunk (negative starts would corrupt slices)
+        if not chunked or total <= chunk_samps:
+            return self.encode(audio, **kw)
+        hop = chunk_samps - overlap_samps
         audio = np.asarray(audio)
         starts = list(range(0, total - chunk_samps + 1, hop))
         if not starts or starts[-1] + chunk_samps != total:
             starts.append(total - chunk_samps)
         y_size = total // spl
-        out = np.zeros((audio.shape[0], y_size, self.latent_channels), np.float32)
+        out = None  # allocated from the first chunk's channel count
         ol = overlap // 2
         n = len(starts)
         for i, s0 in enumerate(starts):
             z = np.asarray(self.encode(audio[:, s0 : s0 + chunk_samps], **kw))
+            if out is None:
+                # q-last VAE encode returns 2*latent_channels (mean||scale)
+                out = np.zeros((audio.shape[0], y_size, z.shape[2]),
+                               np.float32)
             t0, t1 = (s0 // spl, s0 // spl + chunk_size) if i < n - 1 else (y_size - z.shape[1], y_size)
             c0, c1 = 0, z.shape[1]
             if i > 0:
@@ -169,12 +175,12 @@ class AutoencoderFacade:
 
     def decode_audio(self, latents, chunked: bool = False, overlap: int = 32,
                      chunk_size: int = 128):
-        if not chunked:
-            return self.decode(latents)
         spl = self.downsampling_ratio
+        total = latents.shape[1]
+        if not chunked or total <= chunk_size:
+            return self.decode(latents)
         hop = chunk_size - overlap
         latents = np.asarray(latents)
-        total = latents.shape[1]
         starts = list(range(0, total - chunk_size + 1, hop))
         if not starts or starts[-1] + chunk_size != total:
             starts.append(total - chunk_size)

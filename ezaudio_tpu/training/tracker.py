@@ -50,6 +50,11 @@ class Tracker:
         return sum(q) / max(len(q), 1)
 
     def is_best(self, key: str, minimize: bool = True) -> bool:
+        if not self.metrics[key]:
+            # no data recorded for this key (e.g. right after resume —
+            # state_dict doesn't serialize the rolling windows): never
+            # declare a best from the empty-mean 0.0
+            return False
         cur = self.mean(key)
         prev = self.best.get(key)
         better = prev is None or (cur < prev if minimize else cur > prev)
@@ -80,10 +85,12 @@ class Tracker:
 @contextlib.contextmanager
 def timer(tracker: Optional[Tracker] = None, name: str = "block"):
     t0 = time.perf_counter()
-    yield
-    dt = time.perf_counter() - t0
-    if tracker is not None:
-        tracker.update("time", {name: dt})
+    try:
+        yield
+    finally:  # record even when the timed block raises
+        dt = time.perf_counter() - t0
+        if tracker is not None:
+            tracker.update("time", {name: dt})
 
 
 @contextlib.contextmanager

@@ -522,3 +522,48 @@ class TestTransformReviewFixes:
         sig = AudioSignal((0.3 * rng.standard_normal(132299)).astype(np.float32), sr)
         out = BackgroundNoise(snr=(10, 10), sources=[src])(sig, rng)
         assert out.audio_data.shape[-1] == 132299
+
+
+class TestThirdReviewBatch:
+    def test_apply_ir_batched_signal_1d_ir(self):
+        """(B, C, T) signal with a 1-D IR must convolve along time only
+        (fftconvolve needs axes=-1 + broadcastable ndim)."""
+        from ezaudio_tpu.audio import effects
+
+        rng = np.random.default_rng(0)
+        sig = rng.standard_normal((2, 1, 1000)).astype(np.float32)
+        ir = np.zeros(64, np.float32)
+        ir[0] = 1.0  # identity IR
+        out = effects.apply_ir(sig, ir)
+        assert out.shape == sig.shape
+        np.testing.assert_allclose(out, sig, atol=1e-5)
+        # a delayed unit impulse is undone by the peak alignment, and the
+        # batch items stay unmixed
+        ir2 = np.zeros(64, np.float32)
+        ir2[10] = 1.0
+        out2 = effects.apply_ir(sig, ir2)
+        np.testing.assert_allclose(out2, sig, atol=1e-5)
+
+    def test_room_impulse_response_transform(self, tmp_path):
+        from ezaudio_tpu.data.audio_io import save_wav
+        from ezaudio_tpu.data.transforms import RoomImpulseResponse
+
+        sr = 8000
+        rng = np.random.default_rng(0)
+        ir = np.zeros(256, np.float32)
+        ir[0], ir[100] = 1.0, 0.5
+        save_wav(str(tmp_path / "ir.wav"), ir, sr)
+        sig = AudioSignal((0.3 * rng.standard_normal(sr)).astype(np.float32), sr)
+        out = RoomImpulseResponse(sources=[str(tmp_path / "ir.wav")])(sig, rng)
+        assert out.audio_data.shape[-1] == sr
+        assert np.isfinite(out.audio_data).all()
+
+    def test_batched_normalize_per_item(self):
+        quiet = 0.01 * np.sin(2 * np.pi * 440 * np.arange(48000) / 48000)
+        loud = 0.8 * np.sin(2 * np.pi * 440 * np.arange(48000) / 48000)
+        batch = AudioSignal.batch([
+            AudioSignal(quiet.astype(np.float32), 48000),
+            AudioSignal(loud.astype(np.float32), 48000)]).normalize(-24)
+        lufs = batch.loudness()
+        assert len(lufs) == 2
+        np.testing.assert_allclose(lufs, -24.0, atol=1.0)

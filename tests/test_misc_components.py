@@ -141,3 +141,32 @@ class TestDemoCLIs:
                                cwd=os.path.dirname(os.path.dirname(__file__)))
             assert r.returncode == 0, r.stderr
             assert "--prompt" in r.stdout
+
+
+class TestTrackerReviewFixes:
+    def test_is_best_after_resume_with_empty_history(self):
+        from ezaudio_tpu.training.tracker import Tracker
+
+        t1 = Tracker()
+        t1.update("val", {"loss": 0.5})
+        assert t1.is_best("val/loss")
+        state = t1.state_dict()
+
+        t2 = Tracker()
+        t2.load_state_dict(state)
+        # no metrics recorded yet -> must NOT declare the empty mean a best
+        assert not t2.is_best("val/loss")
+        assert t2.best["val/loss"] == 0.5
+        t2.update("val", {"loss": 0.4})
+        assert t2.is_best("val/loss")
+
+    def test_timer_records_on_exception(self):
+        from ezaudio_tpu.training.tracker import Tracker, timer
+
+        t = Tracker()
+        try:
+            with timer(t, "boom"):
+                raise RuntimeError("x")
+        except RuntimeError:
+            pass
+        assert t.counts["time/boom"] == 1
