@@ -37,6 +37,7 @@ class EzAudioControlNet:
         ckpt_path: Optional[str] = None,
         controlnet_path: Optional[str] = None,
         vae_path: Optional[str] = None,
+        t5_path: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
         t5_config=None,
         vae_config: Optional[dict] = None,
@@ -45,9 +46,10 @@ class EzAudioControlNet:
     ):
         # base model (DiT + VAE + T5 + scheduler)
         self.base = EzAudio(
-            model_name=model_name if config is None and config_path is None else model_name,
+            model_name=model_name,
             config=config, config_path=config_path, ckpt_path=ckpt_path,
-            vae_path=vae_path, tokenizer_path=tokenizer_path,
+            vae_path=vae_path, t5_path=t5_path,
+            tokenizer_path=tokenizer_path,
             t5_config=t5_config, vae_config=vae_config, dtype=dtype, seed=seed)
         cfg = self.base.params_cfg
         self.dtype = dtype
@@ -167,10 +169,13 @@ class EzAudioControlNet:
             guidance_scale = None
         cond_emb, cond_mask = base.embed_text(texts)
         if guidance_scale:
-            un_emb, un_mask = base.embed_text([""])
+            # cached empty-prompt embedding (base keeps an lru_cache; a
+            # fresh T5 forward per call wastes one tunnel dispatch)
+            un_emb, un_mask = base._uncond_embedding(1)
             ctx = jnp.concatenate([cond_emb, un_emb], axis=0)
             cmask = jnp.concatenate([cond_mask, un_mask], axis=0)
         else:
+            guidance_scale = None  # 0.0 means no CFG (single-batch path)
             ctx, cmask = cond_emb, cond_mask
 
         noise = jax.random.normal(k_noise, (1, audio_frames, base.latent_dim),

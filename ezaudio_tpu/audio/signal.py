@@ -57,21 +57,27 @@ class AudioSignal:
 
     @classmethod
     def _excerpt_of(cls, sig: "AudioSignal", duration: float,
-                    rng: np.random.Generator) -> "AudioSignal":
+                    rng: np.random.Generator,
+                    offset: Optional[int] = None) -> "AudioSignal":
         n = int(duration * sig.sample_rate)
         total = sig.signal_length
-        start = int(rng.integers(0, max(total - n, 0) + 1))
+        start = (int(rng.integers(0, max(total - n, 0) + 1))
+                 if offset is None else int(offset))
         out = sig.audio_data[..., start : start + n]
         if out.shape[-1] < n:
             out = np.pad(out, ((0, 0), (0, 0), (0, n - out.shape[-1])))
-        return cls(out, sig.sample_rate)
+        return cls(out, sig.sample_rate, metadata={"offset": start})
 
     @classmethod
     def excerpt(cls, path: str, duration: float, state: Optional[np.random.Generator] = None,
-                sr: Optional[int] = None) -> "AudioSignal":
-        """Random fixed-duration excerpt (audio_signal.py excerpt)."""
+                sr: Optional[int] = None,
+                offset: Optional[int] = None) -> "AudioSignal":
+        """Random fixed-duration excerpt (audio_signal.py excerpt).  Pass
+        ``offset`` (samples at the target rate) to pin the window — used
+        by aligned paired-data loading; the drawn offset is recorded in
+        ``metadata["offset"]`` either way."""
         return cls._excerpt_of(cls.load(path, sr=sr), duration,
-                               state or np.random.default_rng())
+                               state or np.random.default_rng(), offset)
 
     @classmethod
     def salient_excerpt(cls, path: str, duration: float,

@@ -243,13 +243,16 @@ class ResidualVectorQuantize(nn.Module):
         codes: List[jnp.ndarray] = []
         latents: List[jnp.ndarray] = []
 
-        if train and self.quantizer_dropout > 0:
-            # per-sample number of active quantizers (quantize.py:171-177)
-            key = self.make_rng("dropout")
+        if train:
+            # reference quantize.py:165-177: training ignores n_quantizers
+            # and runs/supervises every codebook (minus quantizer dropout)
             nq = jnp.full((B,), self.n_codebooks + 1, jnp.float32)
-            drop = jax.random.randint(key, (B,), 1, self.n_codebooks + 1)
-            n_dropout = int(B * self.quantizer_dropout)
-            nq = nq.at[:n_dropout].set(drop[:n_dropout].astype(jnp.float32))
+            if self.quantizer_dropout > 0:
+                # per-sample number of active quantizers (quantize.py:171-177)
+                key = self.make_rng("dropout")
+                drop = jax.random.randint(key, (B,), 1, self.n_codebooks + 1)
+                n_dropout = int(B * self.quantizer_dropout)
+                nq = nq.at[:n_dropout].set(drop[:n_dropout].astype(jnp.float32))
         else:
             nq = jnp.full((B,), float(n_quantizers or self.n_codebooks))
 
@@ -285,8 +288,10 @@ class ResidualVectorQuantize(nn.Module):
         z_q = 0.0
         z_p = []
         codes = []
-        dims = np.cumsum([0] + self.dims)
-        n = int(np.argmax(dims >= latents.shape[-1])) or len(self.dims)
+        dims = np.cumsum([0] + list(self.dims))
+        # last boundary that fits: partial-width latents use only the
+        # codebooks they fully cover (reference quantize.py from_latents)
+        n = int(np.where(dims <= latents.shape[-1])[0].max())
         for i in range(n):
             z_p_i, codes_i = self.quantizers[i].decode_latents(
                 latents[..., dims[i]:dims[i + 1]])

@@ -23,7 +23,6 @@ from ezaudio_tpu.data.manifest import find_audio
 class AudioLoader:
     def __init__(self, sources: Sequence[str], weights: Optional[Sequence[float]] = None,
                  transform=None):
-        self.files: List[str] = []
         src_files = []
         for s in sources:
             if os.path.isdir(s):
@@ -45,18 +44,29 @@ class AudioLoader:
 
     def __call__(self, rng: np.random.Generator, duration: float, sr: int,
                  loudness_cutoff: Optional[float] = -40.0,
-                 item_idx: Optional[int] = None) -> AudioSignal:
-        src = int(rng.choice(len(self.src_files), p=self.weights))
+                 item_idx: Optional[int] = None,
+                 source_idx: Optional[int] = None,
+                 offset: Optional[int] = None) -> AudioSignal:
+        """``source_idx``/``offset`` pin the source choice and excerpt
+        window — AudioDataset(aligned=True) propagates them from the
+        first loader so paired data shares the same time window
+        (reference datasets.py:243-258)."""
+        src = (int(rng.choice(len(self.src_files), p=self.weights))
+               if source_idx is None else int(source_idx))
         files = self.src_files[src]
         idx = (item_idx % len(files)) if item_idx is not None \
             else int(rng.integers(len(files)))
         path = files[idx]
-        if loudness_cutoff is not None:
+        if offset is not None:
+            sig = AudioSignal.excerpt(path, duration, state=rng, sr=sr,
+                                      offset=offset)
+        elif loudness_cutoff is not None:
             sig = AudioSignal.salient_excerpt(path, duration,
                                               loudness_cutoff=loudness_cutoff,
                                               state=rng, sr=sr)
         else:
             sig = AudioSignal.excerpt(path, duration, state=rng, sr=sr)
+        sig.metadata["source_idx"] = src
         if self.transform is not None:
             sig = self.transform(sig, rng)
         return sig
@@ -80,10 +90,17 @@ class AudioDataset:
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng((self.seed, idx))
         out = {"idx": idx}
+        src0 = off0 = None
         for i, loader in enumerate(self.loaders):
             sig = loader(rng, self.duration, self.sample_rate,
                          self.loudness_cutoff,
-                         item_idx=idx if self.aligned else None)
+                         item_idx=idx if self.aligned else None,
+                         source_idx=src0, offset=off0)
+            if self.aligned and i == 0:
+                # pin the pair: same source choice and excerpt window for
+                # every subsequent loader (reference datasets.py aligned)
+                src0 = sig.metadata.get("source_idx")
+                off0 = sig.metadata.get("offset")
             out[f"signal_{i}" if len(self.loaders) > 1 else "signal"] = sig
         return out
 

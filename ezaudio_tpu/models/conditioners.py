@@ -93,6 +93,9 @@ def _lowpass_kernel(cutoff: float, zeros: float = 8.0) -> np.ndarray:
     t = np.arange(-half_size, half_size + 1, dtype=np.float64)
     win = np.hanning(2 * half_size + 1)
     k = 2 * cutoff * win * np.sinc(2 * cutoff * t)
+    # julius normalizes the windowed sinc to exact unity DC gain
+    # ("otherwise we could have a small leakage of the constant component")
+    k = k / k.sum()
     return k.astype(np.float32)
 
 

@@ -149,3 +149,34 @@ class TestChunkedDAC:
         assert z.shape == (1, 64, 8)
         rec = facade.decode_audio(z, chunked=True, overlap=8, chunk_size=24)
         assert rec.shape == (1, 64 * 8, 1)
+
+
+class TestRVQReviewFixes:
+    def test_from_latents_partial_width(self, dac_pair):
+        """A latent slab covering only some codebooks must use the last
+        full boundary (reference from_latents), not crash on a partial
+        slice."""
+        model, params, d = dac_pair
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))
+        out = model.apply(params, x)
+        latents = out["latents"]  # (B, T, n_codebooks * codebook_dim)
+        dim = latents.shape[-1] // out["codes"].shape[1]
+        for width_books in (1, 2):
+            part = latents[..., : width_books * dim + dim // 2]  # partial
+            zq, zp, codes = model.apply(
+                params, part, method=lambda m, l: m.quantizer.from_latents(l))
+            assert codes.shape[1] == width_books
+        # full width reproduces the forward z_q
+        zq_full, _, _ = model.apply(
+            params, latents, method=lambda m, l: m.quantizer.from_latents(l))
+        np.testing.assert_allclose(np.asarray(zq_full), np.asarray(out["z"]),
+                                   atol=1e-5)
+
+    def test_training_ignores_n_quantizers(self, dac_pair):
+        """Reference parity: train=True runs all codebooks regardless of
+        n_quantizers."""
+        model, params, d = dac_pair
+        x = jnp.asarray(d["x"].transpose(0, 2, 1))
+        out = model.apply(params, x, n_quantizers=1, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+        assert out["codes"].shape[1] == model.n_codebooks

@@ -170,3 +170,43 @@ class TestTrackerReviewFixes:
         except RuntimeError:
             pass
         assert t.counts["time/boom"] == 1
+
+
+class TestAlignedWindows:
+    def test_aligned_loaders_share_offset_and_source(self, tmp_path, rng):
+        """aligned=True must pin the excerpt WINDOW (not just the file
+        index) across loaders — paired codec data breaks otherwise."""
+        from ezaudio_tpu.data.audio_dataset import AudioDataset, AudioLoader
+
+        sr = 8000
+        d1, d2 = tmp_path / "in", tmp_path / "tgt"
+        d1.mkdir(), d2.mkdir()
+        # content = ramp so the excerpt offset is recoverable from values
+        ramp = (np.arange(4 * sr) / (4 * sr)).astype(np.float32)
+        save_wav(str(d1 / "0.wav"), ramp, sr)
+        save_wav(str(d2 / "0.wav"), ramp, sr)
+        ds = AudioDataset([AudioLoader([str(d1)]), AudioLoader([str(d2)])],
+                          duration=0.5, sample_rate=sr, n_examples=8,
+                          aligned=True, loudness_cutoff=None)
+        for idx in range(4):
+            item = ds[idx]
+            s0, s1 = item["signal_0"], item["signal_1"]
+            assert s0.metadata["offset"] == s1.metadata["offset"]
+            np.testing.assert_allclose(s0.audio_data, s1.audio_data,
+                                       atol=1e-6)
+
+    def test_aligned_salient_path_shares_window(self, tmp_path, rng):
+        from ezaudio_tpu.data.audio_dataset import AudioDataset, AudioLoader
+
+        sr = 8000
+        d1, d2 = tmp_path / "in", tmp_path / "tgt"
+        d1.mkdir(), d2.mkdir()
+        x = (0.3 * rng.standard_normal(4 * sr)).astype(np.float32)
+        save_wav(str(d1 / "0.wav"), x, sr)
+        save_wav(str(d2 / "0.wav"), x, sr)
+        ds = AudioDataset([AudioLoader([str(d1)]), AudioLoader([str(d2)])],
+                          duration=0.5, sample_rate=sr, n_examples=2,
+                          aligned=True, loudness_cutoff=-40.0)
+        item = ds[0]
+        np.testing.assert_allclose(item["signal_0"].audio_data,
+                                   item["signal_1"].audio_data, atol=1e-6)
