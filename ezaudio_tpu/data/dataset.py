@@ -76,8 +76,9 @@ class EACaps:
 
     # ------------------------------------------------------------------
     def load_audio(self, audio_path: str) -> np.ndarray:
-        y, sr = load_wav(audio_path, sr=None, mono=False)
-        assert sr == self.sr, f"{audio_path}: expected {self.sr}, got {sr}"
+        # resample to the training rate (the reference librosa.load(sr=...)
+        # resamples too — a stray 44.1 kHz file must not kill the run)
+        y, sr = load_wav(audio_path, sr=self.sr, mono=False)
         if y.ndim == 1:
             y = y[None, :]
         if y.shape[0] == 6:
@@ -181,6 +182,11 @@ class ResumableIterator:
     def __iter__(self):
         while True:
             self.dataset.rng = np.random.default_rng((self.seed, self.epoch))
+            if self.dataset.augmenter is not None:
+                # the augmenter captured the init-time generator; rebind it
+                # to the epoch stream or resumed runs replay different
+                # augmentations than the uninterrupted run
+                self.dataset.augmenter.rng = self.dataset.rng
             for i, batch in enumerate(self.dataset.batches(self.batch_size)):
                 if i < self.step:
                     continue

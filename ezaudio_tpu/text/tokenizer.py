@@ -78,4 +78,10 @@ def get_tokenizer(model_name_or_path: str | None = None, vocab_size: int = 32128
             path = os.path.join(path, "tokenizer.json")
         if os.path.isfile(path):
             return HFTokenizerFrontend(path)
+        import warnings
+
+        warnings.warn(
+            f"tokenizer not found at {model_name_or_path!r}; falling back "
+            "to the hash demo tokenizer — text conditioning will be "
+            "meaningless with real checkpoints", stacklevel=2)
     return HashTokenizer(vocab_size=vocab_size)

@@ -30,7 +30,9 @@ def masked_diffusion_loss(
         snr = schedule.snr(timesteps)
         w = jnp.minimum(snr, snr_gamma)
         if schedule.prediction_type == "epsilon":
-            w = w / snr
+            # zero-terminal-SNR schedules make snr(T-1) exactly 0; clamp so
+            # the uniformly-sampled terminal step can't NaN the batch loss
+            w = w / jnp.maximum(snr, 1e-8)
         elif schedule.prediction_type == "v_prediction":
             w = w / (snr + 1.0)
         else:

@@ -52,9 +52,8 @@ def main(argv=None):
     from ezaudio_tpu.api.ezaudio import EzAudio
     from ezaudio_tpu.config import load_yaml_with_includes
     from ezaudio_tpu.data.dataset import EACaps, ResumableIterator
-    from ezaudio_tpu.parallel.mesh import make_mesh, shard_batch
+    from ezaudio_tpu.parallel.mesh import make_mesh
     from ezaudio_tpu.training.trainer import Trainer
-    from ezaudio_tpu.utils import scale_shift  # noqa: F401  (used in step)
 
     params_cfg = load_yaml_with_includes(args.config_name)
     stage = "audioset" if params_cfg.model.context_dim is None else "audiocaps"
@@ -66,14 +65,22 @@ def main(argv=None):
                  vae_path=args.vae_ckpt, dtype=dtype, seed=args.random_seed)
 
     mesh = make_mesh(fsdp=args.mesh_fsdp)
+    train_cfg = params_cfg.data.train.to_dict()
+    # CFG dropout happens exactly once (reference train.py:109-127): in the
+    # dataset when offline embeddings carry their own cfg_prob, else inside
+    # the jitted step at the configured rate
+    offline_cfg = bool(train_cfg.get("text_path")) and \
+        float(train_cfg.get("cfg_prob", 0.0)) > 0
+    cfg_dropout = 0.0 if offline_cfg else float(
+        params_cfg.get("text_encoder", {}).get("cfg", 0.1) or 0.0)
     trainer = Trainer.create(
         ez.dit, ez.noise_scheduler, ez.dit_params["params"],
         params_cfg.opt.to_dict() if "opt" in params_cfg else {},
         mesh=mesh, scale=ez.scale, shift=ez.shift,
-        train_frames=params_cfg.get("data", {}).get("train_frames"))
+        train_frames=params_cfg.get("data", {}).get("train_frames"),
+        cfg_dropout=cfg_dropout)
 
-    train_set = EACaps(**params_cfg.data.train.to_dict(),
-                       seed=args.random_seed)
+    train_set = EACaps(**train_cfg, seed=args.random_seed)
     batch_size = params_cfg.opt.batch_size
     it = ResumableIterator(train_set, batch_size, seed=args.random_seed)
 
@@ -89,21 +96,27 @@ def main(argv=None):
 
     # fault tolerance: auto-resume from the latest checkpoint if one exists
     # (preemption-safe restart; orbax state includes params+optimizer+step)
+    latest = None
     try:
         import orbax.checkpoint as ocp
 
         with ocp.CheckpointManager(os.path.abspath(save_dir)) as _m:
             latest = _m.latest_step()
-        if latest is not None and args.ckpt is None:
-            print(f"resuming from checkpoint step {latest}")
-            trainer.restore_checkpoint(os.path.abspath(save_dir), latest)
     except Exception:
-        pass
+        latest = None  # no checkpoint directory yet
+    if latest is not None and args.ckpt is None:
+        # a broken/incompatible checkpoint must fail loudly — silently
+        # restarting from step 0 both loses progress and collides with the
+        # existing step numbers at the next periodic save
+        print(f"resuming from checkpoint step {latest}")
+        trainer.restore_checkpoint(os.path.abspath(save_dir), latest)
 
     rng = jax.random.PRNGKey(args.random_seed)
     losses, t0 = [], time.time()
     global_step = int(trainer.state.step)
-    it.step = global_step % max(1, len(train_set) // batch_size)
+    steps_per_epoch = max(1, len(train_set) // batch_size)
+    it.load_state_dict({"epoch": global_step // steps_per_epoch,
+                        "step": global_step % steps_per_epoch})
     encode_key = jax.random.PRNGKey(args.random_seed + 1)
 
     from ezaudio_tpu.training.trainer import PreemptionGuard
@@ -125,13 +138,16 @@ def main(argv=None):
 
             step_batch = {"latents": latents, "text": text, "text_mask": text_mask,
                           "uncond": uncond, "uncond_mask": uncond_mask}
-            metrics = trainer.train_step(shard_batch(mesh, step_batch), rng)
-            losses.append(float(metrics["loss"]))
+            # train_step shards internally; keep the loss on device so the
+            # host never blocks on the ~70 ms tunnel round-trip per step
+            metrics = trainer.train_step(step_batch, rng)
+            losses.append(metrics["loss"])
             global_step += 1
 
             if global_step % args.log_step == 0:
+                window = [float(v) for v in losses[-args.log_step:]]
                 msg = (f"{time.asctime()}  step {global_step}  "
-                       f"loss {np.mean(losses[-args.log_step:]):.6f}  "
+                       f"loss {np.mean(window):.6f}  "
                        f"({args.log_step / (time.time() - t0):.2f} it/s)\n")
                 with open(os.path.join(log_dir, "log.txt"), "a") as f:
                     f.write(msg)
@@ -153,8 +169,14 @@ def main(argv=None):
 
         # final BLOCKING save runs while the guard is still active, so a
         # second SIGTERM during the (possibly long) write is absorbed
-        # instead of killing the process mid-checkpoint
-        trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
+        # instead of killing the process mid-checkpoint.  Skip when the
+        # loop exited exactly on a periodic-save boundary — orbax raises
+        # StepAlreadyExistsError on a duplicate step
+        if global_step % args.save_every_step != 0:
+            trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
+        else:
+            trainer.save_checkpoint(os.path.abspath(save_dir), global_step,
+                                    block=True, skip_existing=True)
     finally:
         guard.__exit__()
         trainer.close()

@@ -143,7 +143,7 @@ class Trainer:
 
     @classmethod
     def create(cls, model, schedule, params, opt_cfg: dict, mesh=None,
-               scale=1.0, shift=0.0, train_frames=None):
+               scale=1.0, shift=0.0, train_frames=None, cfg_dropout=0.1):
         from ezaudio_tpu.training.optim import make_optimizer
 
         tx = make_optimizer(
@@ -167,7 +167,8 @@ class Trainer:
         state = TrainState.create(params, tx)
         step_fn = make_train_step(
             model, schedule, tx, scale=scale, shift=shift,
-            snr_gamma=opt_cfg.get("snr_gamma"), train_frames=train_frames)
+            snr_gamma=opt_cfg.get("snr_gamma"), cfg_dropout=cfg_dropout,
+            train_frames=train_frames)
         return cls(model=model, schedule=schedule, tx=tx, state=state,
                    step_fn=step_fn, mesh=mesh)
 
@@ -206,12 +207,18 @@ class Trainer:
             self._mngr_dir = None
 
     def save_checkpoint(self, ckpt_dir: str, step: Optional[int] = None,
-                        block: bool = True):
+                        block: bool = True, skip_existing: bool = False):
         """Save params+optimizer+step.  ``block=False`` returns as soon as
         the on-device arrays are snapshotted; the write completes in the
-        background (call ``close()`` or save again to join)."""
+        background (call ``close()`` or save again to join).
+        ``skip_existing`` joins (when ``block``) instead of raising orbax's
+        StepAlreadyExistsError when this step was already saved."""
         step = int(step if step is not None else self.state.step)
         mngr = self._manager(ckpt_dir)
+        if skip_existing and step in mngr.all_steps():
+            if block:
+                mngr.wait_until_finished()
+            return
         mngr.save(step, args=_standard_save(
             {"params": self.state.params, "opt_state": self.state.opt_state,
              "step": self.state.step}))

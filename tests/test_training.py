@@ -137,3 +137,96 @@ class TestDataParallel:
         specs = [s.spec for s in jax.tree.leaves(sh)]
         # at least the big kernels get sharded over fsdp
         assert any("fsdp" in str(s) for s in specs)
+
+
+class TestFifthReviewBatch:
+    def test_min_snr_epsilon_finite_at_terminal_step(self):
+        """zero-terminal-SNR + epsilon prediction + min-SNR weighting used
+        to divide by snr=0 at t=T-1 and NaN the batch loss."""
+        from ezaudio_tpu.training.losses import masked_diffusion_loss
+
+        cfg = dict(TINY_CONFIG["diff"], prediction_type="epsilon")
+        schedule = DDIMSchedule.from_config(cfg)
+        assert float(schedule.snr(jnp.array([cfg["num_train_timesteps"] - 1]))[0]) == 0.0
+        B, L, C = 2, 8, 4
+        pred = jnp.ones((B, L, C))
+        target = jnp.zeros((B, L, C))
+        mask = jnp.ones((B, L, 1))
+        t = jnp.array([0, cfg["num_train_timesteps"] - 1])
+        loss = masked_diffusion_loss(pred, target, mask, schedule, t,
+                                     snr_gamma=5.0)
+        assert np.isfinite(float(loss))
+
+    def test_save_checkpoint_skip_existing(self, tmp_path):
+        import optax
+
+        from ezaudio_tpu.training.trainer import Trainer, TrainState
+
+        params = {"w": jnp.ones((2,))}
+        tx = optax.sgd(1e-2)
+        tr = Trainer(model=None, schedule=None, tx=tx,
+                     state=TrainState.create(params, tx), step_fn=None,
+                     mesh=None)
+        d = str(tmp_path / "ck")
+        tr.save_checkpoint(d, 5)
+        # duplicate step must be a clean no-op (with our manager options
+        # orbax returns False rather than raising; skip_existing makes the
+        # intent explicit and joins the in-flight write)
+        tr.save_checkpoint(d, 5, skip_existing=True)
+        tr.save_checkpoint(d, 5)
+        assert tr._manager(d).all_steps() == [5]
+        tr.close()
+
+    def test_resumable_iterator_rebinds_augmenter_rng(self, tmp_path):
+        import pandas as pd
+
+        from ezaudio_tpu.data.audio_io import save_wav
+        from ezaudio_tpu.data.dataset import EACaps, ResumableIterator
+
+        sr = 8000
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(2):
+            save_wav(str(tmp_path / f"{i}.wav"),
+                     (0.3 * rng.standard_normal(sr)).astype(np.float32), sr)
+            rows.append(dict(audio_path=f"{i}.wav", caption=str(i),
+                             split="train", audio_length=1.0,
+                             absolute_index=i, fine_tune_data=True))
+        pd.DataFrame(rows).to_csv(tmp_path / "meta.csv", index=False)
+        ds = EACaps(data_dir=str(tmp_path) + "/",
+                    meta_dir=str(tmp_path / "meta.csv"), subset="train",
+                    seg_length=1, sr=sr,
+                    aug_config={"phase180": {"p": 0.5}}, seed=0)
+        it = iter(ResumableIterator(ds, batch_size=2, seed=0))
+        next(it)
+        assert ds.augmenter.rng is ds.rng  # epoch stream, not init stream
+
+    def test_load_audio_resamples_foreign_rate(self, tmp_path):
+        import pandas as pd
+
+        from ezaudio_tpu.data.audio_io import save_wav
+        from ezaudio_tpu.data.dataset import EACaps
+
+        rng = np.random.default_rng(0)
+        save_wav(str(tmp_path / "0.wav"),
+                 (0.3 * rng.standard_normal(44100)).astype(np.float32), 44100)
+        pd.DataFrame([dict(audio_path="0.wav", caption="x", split="train",
+                           audio_length=1.0, absolute_index=0,
+                           fine_tune_data=True)]).to_csv(
+            tmp_path / "meta.csv", index=False)
+        ds = EACaps(data_dir=str(tmp_path) + "/",
+                    meta_dir=str(tmp_path / "meta.csv"), subset="train",
+                    seg_length=1, sr=8000)
+        clip, _ = ds[0]
+        assert clip.shape == (8000,)  # resampled, not AssertionError
+
+    def test_hash_tokenizer_fallback_warns(self, tmp_path):
+        import warnings
+
+        from ezaudio_tpu.text.tokenizer import HashTokenizer, get_tokenizer
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            tok = get_tokenizer(str(tmp_path / "missing"))
+        assert isinstance(tok, HashTokenizer)
+        assert any("hash" in str(x.message).lower() for x in w)
