@@ -175,10 +175,15 @@ class EzAudio:
 
         self._encode_text = jax.jit(
             lambda p, ids, mask: self.t5.apply({"params": p}, ids, mask))
+        # PER-INSTANCE caches: a class-level functools.lru_cache would key
+        # on self and pin every EzAudio instance (multi-GB params + all
+        # compiled programs) alive for the life of the process
+        self._uncond_embedding = functools.lru_cache(maxsize=8)(
+            self._uncond_embedding_impl)
+        self._sampler = functools.lru_cache(maxsize=32)(self._sampler_impl)
 
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=8)
-    def _uncond_embedding(self, batch: int):
+    def _uncond_embedding_impl(self, batch: int):
         """Cached empty-prompt embedding (CFG uncond branch)."""
         return self.embed_text([""] * batch)
 
@@ -188,8 +193,7 @@ class EzAudio:
         return emb, jnp.asarray(mask)
 
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=32)
-    def _sampler(self, steps: int, guidance_scale, guidance_rescale, eta,
+    def _sampler_impl(self, steps: int, guidance_scale, guidance_rescale, eta,
                  use_gt: bool, guidance_interval=None, sampler: str = "ddim",
                  quant: Optional[str] = None, layer_cache=None):
         """Compile (and cache) the full denoising program for a signature."""
@@ -353,8 +357,12 @@ class EzAudio:
         """
         batched = not isinstance(text, str)
         texts = list(text) if batched else [text]
-        if any(t == "" for t in texts):
-            guidance_scale = None  # reference: empty prompt -> no CFG
+        if all(t == "" for t in texts):
+            # reference: empty prompt -> no CFG.  For a MIXED batch keep
+            # the CFG pair: an empty prompt's cond embedding equals the
+            # uncond embedding, so its CFG mix reduces to the unguided
+            # sample per-prompt while real prompts stay guided
+            guidance_scale = None
         if randomize_seed:
             random_seed = np.random.randint(0, MAX_SEED)
 

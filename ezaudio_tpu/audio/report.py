@@ -51,7 +51,7 @@ td,th{{border:1px solid #ccc;padding:6px}}</style></head>
 
 def write_report(path: str, samples: Dict[str, Dict[str, np.ndarray]],
                  sr: int, **kw) -> str:
-    with open(path, "w") as f:
+    with open(path, "w", encoding="utf-8") as f:
         f.write(audio_table(samples, sr, **kw))
     return path
 
@@ -177,8 +177,16 @@ class MUSHRATest:
                     f"<span id='v{i}_{j}'>50</span></div>")
                 key_rows.append((i, j, t["sample"], sys_name))
             blocks.append("</div>")
+        import json as _json
+
+        # json-encode names and break '</' so a name containing
+        # '</script>' can neither terminate the script element nor inject
+        # markup into the page
         key_js = ",".join(
-            f"[{i},{j},{sample!r},{name!r}]"
+            "[{},{},{},{}]".format(
+                i, j,
+                _json.dumps(str(sample)).replace("</", "<\\/"),
+                _json.dumps(str(name)).replace("</", "<\\/"))
             for i, j, sample, name in key_rows)
         script = f"""<script>
 const KEY = [{key_js}];
@@ -208,7 +216,7 @@ function exportCSV() {{
                 + script + "</body></html>")
 
     def write(self, path: str, audio, sr: int, **kw) -> str:
-        with open(path, "w") as f:
+        with open(path, "w", encoding="utf-8") as f:
             f.write(self.render_html(audio, sr, **kw))
         return path
 

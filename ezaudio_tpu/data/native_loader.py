@@ -24,13 +24,20 @@ _lib = None
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
     try:
+        if os.path.exists(_LIB) and (
+                not os.path.exists(_SRC)  # prebuilt .so shipped sourceless
+                or os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+            return _LIB
+        # compile to a private temp name and rename into place: concurrent
+        # first-use builders (pytest-xdist, multi-process launches) must
+        # never dlopen a half-written .so
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _LIB],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return _LIB
     except Exception:
         return None

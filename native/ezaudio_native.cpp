@@ -63,7 +63,16 @@ bool parse_wav(const uint8_t* buf, uint64_t len, WavInfo* out) {
     }
     pos += 8 + chunk_len + (chunk_len & 1);  // chunks are word-aligned
   }
-  return have_fmt && out->data != nullptr;
+  if (!(have_fmt && out->data != nullptr)) return false;
+  // Reject malformed/unsupported streams here so callers return an error
+  // status instead of dividing by zero (channels=0/bits<8 -> SIGFPE) or
+  // silently decoding zeros (A-law, ADPCM, float64, ...).
+  if (out->channels < 1 || out->channels > 64) return false;
+  const uint16_t fmt = out->format, bits = out->bits;
+  const bool supported =
+      (fmt == 3 && bits == 32) ||
+      (fmt == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32));
+  return supported;
 }
 
 // Decode + downmix one frame range into float32 mono.

@@ -191,3 +191,31 @@ class TestHFTokenizerPath:
         assert np.isfinite(wav).all()
         # different prompts through real ids -> different audio
         assert np.abs(wav[0] - wav[1]).max() > 1e-6
+
+
+class TestMixedBatchCFG:
+    def test_mixed_empty_prompt_keeps_cfg(self):
+        """One empty prompt in a batch must not silently disable CFG for
+        the other prompts (empty cond == uncond, so that item reduces to
+        the unguided sample on its own)."""
+        from tests.tiny_config import make_tiny_ezaudio
+
+        ez = make_tiny_ezaudio()
+        sr, wavs = ez.generate_audio(["rain", ""], length=2.0, ddim_steps=4,
+                                     guidance_scale=3.0, random_seed=0)
+        assert wavs.shape[0] == 2 and np.isfinite(wavs).all()
+        # all-empty: the reference's no-CFG path
+        sr, wavs = ez.generate_audio(["", ""], length=2.0, ddim_steps=4,
+                                     guidance_scale=3.0, random_seed=0)
+        assert wavs.shape[0] == 2 and np.isfinite(wavs).all()
+
+    def test_per_instance_sampler_cache(self):
+        """The jit/sampler caches must be per-instance (a class-level
+        lru_cache would pin instances and their params forever)."""
+        from ezaudio_tpu.api.ezaudio import EzAudio
+
+        assert "_sampler" not in EzAudio.__dict__  # bound per instance
+        assert not hasattr(EzAudio.__dict__.get("_sampler_impl"),
+                           "cache_info")
+        assert not hasattr(EzAudio.__dict__.get("_uncond_embedding_impl"),
+                           "cache_info")

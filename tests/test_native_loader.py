@@ -101,3 +101,54 @@ class TestNativeConcurrency:
         b, sb = native_loader.load_batch(paths, sr, sr, seed=5, n_threads=16)
         assert (sa == 0).all() and (sb == 0).all()
         np.testing.assert_array_equal(a, b)
+
+
+class TestNativeMalformedWavs:
+    def _write_wav_header(self, path, fmt, channels, bits, data=b"\x00" * 64):
+        import struct
+
+        fmt_chunk = struct.pack("<HHIIHH", fmt, channels, 8000,
+                                8000 * max(channels, 1) * max(bits // 8, 1),
+                                max(channels, 1) * max(bits // 8, 1), bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_chunk))
+                + fmt_chunk + b"data" + struct.pack("<I", len(data)) + data)
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    def test_zero_channels_returns_error_not_sigfpe(self, tmp_path):
+        from ezaudio_tpu.data import native_loader
+
+        lib = native_loader.get_lib()
+        if lib is None:
+            import pytest
+
+            pytest.skip("no compiler")
+        import ctypes
+
+        p = str(tmp_path / "bad.wav")
+        self._write_wav_header(p, fmt=1, channels=0, bits=16)
+        out = np.zeros(100, np.float32)
+        sr = ctypes.c_int32(0)
+        n = lib.ez_decode_wav(
+            p.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            100, ctypes.byref(sr))
+        assert n < 0  # error status, process alive
+
+    def test_unsupported_format_returns_error_not_silence(self, tmp_path):
+        from ezaudio_tpu.data import native_loader
+
+        lib = native_loader.get_lib()
+        if lib is None:
+            import pytest
+
+            pytest.skip("no compiler")
+        import ctypes
+
+        p = str(tmp_path / "alaw.wav")
+        self._write_wav_header(p, fmt=6, channels=1, bits=8)  # A-law
+        out = np.zeros(100, np.float32)
+        sr = ctypes.c_int32(0)
+        n = lib.ez_decode_wav(
+            p.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            100, ctypes.byref(sr))
+        assert n < 0  # must NOT report success with zeroed audio

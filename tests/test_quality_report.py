@@ -266,3 +266,21 @@ class TestESTOI:
         assert lo < hi < 1.0
         classic = stoi(x + 0.3 * n, x, 10000, extended=False)
         assert abs(hi - classic) > 1e-6  # extended flag must change result
+
+
+class TestMUSHRAEscaping:
+    def test_script_breaking_names_are_escaped(self, tmp_path):
+        from ezaudio_tpu.audio.report import MUSHRATest
+
+        sr = 8000
+        wav = np.zeros(800, np.float32)
+        evil = "base</script><img src=x onerror=alert(1)>"
+        t = MUSHRATest(conditions=[evil], samples=["s1"])
+        audio = {"s1": {"reference": wav, evil: wav}}
+        html = t.render_html(audio, sr)
+        # the raw terminator must never appear inside the inline script
+        import re
+
+        script = re.search(r"<script>(.*?)</script>", html, re.S).group(1)
+        assert "</script>" not in script
+        assert "onerror" not in script or "<\\/" in script
