@@ -106,9 +106,12 @@ class FSQBottleneck(nn.Module):
 
     def _bound(self, z):
         lv = jnp.asarray(self.levels, z.dtype)
-        half_l = (lv - 1.0) / 2.0
+        # official FSQ bound (google-research fsq): 1-eps span shrink and a
+        # tan() shift — an arctanh() shift NaNs on binary channels (l=2:
+        # offset/half_l >= 1), pinning them to a constant code
+        half_l = (lv - 1.0) * (1.0 - 1e-3) / 2.0
         offset = jnp.where(jnp.asarray(self.levels) % 2 == 0, 0.5, 0.0)
-        shift = jnp.arctanh(offset / half_l)
+        shift = jnp.tan(offset / half_l)
         return jnp.tanh(z + shift) * half_l - offset
 
     def encode(self, x, **kw):

@@ -104,12 +104,12 @@ class DACCodec:
         padded = np.zeros(n_chunks * chunk, np.float32)
         padded[: len(wav)] = wav
 
-        codes = []
-        for i in range(n_chunks):
-            seg = padded[i * chunk : (i + 1) * chunk]
-            c = np.asarray(self._encode(self.params, jnp.asarray(seg)[None, :, None]))
-            codes.append(c)
-        codes = np.concatenate(codes, axis=-1)  # (1, N, T)
+        # dispatch every chunk before materializing any (each np.asarray
+        # inside the loop would pay a full ~70 ms tunnel sync per chunk)
+        codes = [self._encode(self.params, jnp.asarray(
+            padded[i * chunk : (i + 1) * chunk])[None, :, None])
+            for i in range(n_chunks)]
+        codes = np.concatenate([np.asarray(c) for c in codes], axis=-1)
         return DACFile(
             codes=codes, chunk_length=chunk // hop,
             original_length=original_length,
@@ -119,18 +119,26 @@ class DACCodec:
     # ------------------------------------------------------------------
     def decompress(self, obj: DACFile, normalize_db: float = -16.0
                    ) -> np.ndarray:
+        if obj.sample_rate != self.model.sample_rate:
+            raise ValueError(
+                f".dac file was encoded at {obj.sample_rate} Hz but this "
+                f"model runs at {self.model.sample_rate} Hz")
         codes = jnp.asarray(obj.codes)
         T = codes.shape[-1]
         cl = obj.chunk_length
-        outs = []
-        for i in range(0, T, cl):
-            c = codes[..., i : i + cl]
-            wav = np.asarray(self._decode_codes(self.params, c))[0, :, 0]
-            outs.append(wav)
-        wav = np.concatenate(outs)
+        outs = [self._decode_codes(self.params, codes[..., i : i + cl])
+                for i in range(0, T, cl)]  # pipeline dispatches, sync after
+        wav = np.concatenate([np.asarray(o)[0, :, 0] for o in outs])
+        wav = wav[: obj.original_length]
         if normalize_db is not None and obj.input_db > -70.0:
-            wav = wav * (10 ** ((obj.input_db - normalize_db) / 20))
-        return wav[: obj.original_length]
+            # reference base.py:285: re-measure the RECONSTRUCTION and gain
+            # it to the recorded input loudness — assuming the decode sits
+            # at normalize_db mis-scales whenever compress used a different
+            # (or no) normalization
+            out_db = integrated_loudness(wav, obj.sample_rate)
+            if np.isfinite(out_db):
+                wav = wav * (10 ** ((obj.input_db - out_db) / 20))
+        return wav
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +165,11 @@ def _cli():
         p.add_argument("--sample-rate", type=int, default=44100)
     args = ap.parse_args()
 
+    if args.cmd == "decode":
+        # the .dac file's recorded rate is authoritative — building a
+        # model at a different geometry would crash or decode at the
+        # wrong rate
+        args.sample_rate = DACFile.load(args.input).sample_rate
     model = DAC(sample_rate=args.sample_rate)
     if args.ckpt:
         if args.ckpt.endswith((".pt", ".pth")):

@@ -123,9 +123,18 @@ class WaveletEncode1d:
         self.lo, self.hi = wavelet_filters(wavelet)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for _ in range(self.levels):
+        k = len(self.lo)
+        for lvl in range(self.levels):
             assert x.shape[1] % 2 == 0, (
                 f"time axis {x.shape[1]} must be divisible by 2 per level")
+            if x.shape[1] < k:
+                # a shorter axis under-fills the circular extension
+                # (silently wrong shapes here; negative-size zeros in the
+                # synthesis tail fold)
+                raise ValueError(
+                    f"time axis {x.shape[1]} at level {lvl} is shorter than "
+                    f"the {k}-tap wavelet; use fewer levels or a shorter "
+                    f"wavelet")
             x = _analysis_step(x, self.lo, self.hi)
         return x
 
@@ -137,6 +146,12 @@ class WaveletDecode1d:
         self.lo, self.hi = wavelet_filters(wavelet)
 
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
-        for _ in range(self.levels):
+        k = len(self.lo)
+        for lvl in range(self.levels):
+            if 2 * z.shape[1] < k:
+                raise ValueError(
+                    f"time axis {z.shape[1]} at level {lvl} is too short "
+                    f"for the {k}-tap wavelet; use fewer levels or a "
+                    f"shorter wavelet")
             z = _synthesis_step(z, self.lo, self.hi)
         return z

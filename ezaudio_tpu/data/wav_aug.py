@@ -73,10 +73,12 @@ class WavAugmentation:
             x = mu_law_decode(mu_law_encode(x, n), n)
         if "low_pass" in cfg and rng.random() < cfg["low_pass"]["p"]:
             c = cfg["low_pass"]
-            fc = rng.uniform(*c["fc_threshold"]) * c["fs"] / 2
-            x = lowpass_biquad(x, c["fs"], fc)
+            fs = c.get("fs", self.sr)  # dataset rate unless the config pins one
+            fc = rng.uniform(*c["fc_threshold"]) * fs / 2
+            x = lowpass_biquad(x, fs, fc)
         if "high_pass" in cfg and rng.random() < cfg["high_pass"]["p"]:
             c = cfg["high_pass"]
-            fc = rng.uniform(*c["fc_threshold"]) * c["fs"] / 2
-            x = highpass_biquad(x, c["fs"], fc)
+            fs = c.get("fs", self.sr)
+            fc = rng.uniform(*c["fc_threshold"]) * fs / 2
+            x = highpass_biquad(x, fs, fc)
         return x

@@ -56,3 +56,23 @@ def test_fsq_roundtrip(rng):
 def test_factory():
     assert isinstance(make_bottleneck("tanh"), TanhBottleneck)
     assert isinstance(make_bottleneck("fsq", levels=(4, 4)), FSQBottleneck)
+
+
+class TestFSQBinaryLevel:
+    def test_binary_channel_not_collapsed(self):
+        """levels containing 2 used to produce arctanh(1)=inf shift,
+        pinning the channel to one constant code."""
+        import jax.numpy as jnp
+
+        from ezaudio_tpu.codecs.bottlenecks import FSQBottleneck
+
+        fsq = FSQBottleneck(levels=(8, 5, 2))
+        z = jnp.asarray(np.stack([np.full((4, 3), -3.0),
+                                  np.full((4, 3), 3.0)]), jnp.float32)
+        b = np.asarray(fsq._bound(z))
+        assert np.isfinite(b).all()
+        # the binary channel must distinguish strongly negative vs
+        # strongly positive inputs
+        codes_neg = np.round(b[0, :, 2])
+        codes_pos = np.round(b[1, :, 2])
+        assert not np.array_equal(codes_neg, codes_pos)

@@ -180,3 +180,28 @@ class TestRVQReviewFixes:
         out = model.apply(params, x, n_quantizers=1, train=True,
                           rngs={"dropout": jax.random.PRNGKey(0)})
         assert out["codes"].shape[1] == model.n_codebooks
+
+
+class TestDACFileLoudnessRestore:
+    def test_decompress_remasures_reconstruction(self, dac_pair):
+        """Reference parity (base.py:285): decompress must re-measure the
+        RECONSTRUCTION's loudness and gain to the recorded input_db — not
+        assume the decode sits at the compress-side normalize_db."""
+        from ezaudio_tpu.audio.loudness import integrated_loudness
+        from ezaudio_tpu.codecs.dacfile import DACCodec
+
+        model, params, d = dac_pair
+        codec = DACCodec(model, params["params"] if "params" in params
+                         else params)
+        sr = model.sample_rate
+        t = np.arange(2 * sr) / sr
+        wav = (0.25 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        in_db = integrated_loudness(wav, sr)
+        # compress WITHOUT normalization: the old decompress assumed the
+        # default -16 dB and mis-scaled by (input_db + 16) dB
+        f = codec.compress(wav, sr, normalize_db=None)
+        out = codec.decompress(f)
+        assert len(out) == len(wav)
+        out_db = integrated_loudness(out, sr)
+        if np.isfinite(out_db) and np.isfinite(in_db):
+            assert abs(out_db - in_db) < 1.0, (out_db, in_db)

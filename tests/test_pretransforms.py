@@ -125,3 +125,20 @@ class TestPQMFLengthContract:
         y = pq.decode(z)
         assert z.shape == (1, 512, 8)
         assert y.shape == (1, 4096, 1), y.shape
+
+
+class TestWaveletShortInput:
+    def test_too_short_raises_not_corrupts(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from ezaudio_tpu.codecs.wavelets import (
+            WaveletDecode1d, WaveletEncode1d)
+
+        enc = WaveletEncode1d(channels=1, levels=4, wavelet="db8")  # k=16
+        x = jnp.zeros((1, 64, 1))
+        with pytest.raises(ValueError):
+            enc(x)
+        dec = WaveletDecode1d(channels=1, levels=4, wavelet="db8")
+        with pytest.raises(ValueError):
+            dec(jnp.zeros((1, 4, 16)))
