@@ -89,9 +89,13 @@ def mel_spectrogram_loss(
 ) -> jnp.ndarray:
     """Multi-scale mel loss (audiotools spectral.py:98-193 defaults)."""
     fmax = fmax or [None] * len(n_mels)
-    if len(fmin) != len(n_mels):  # broadcast the length-2 default
-        fmin = tuple(fmin) * len(n_mels) if len(fmin) == 1 else \
-            (0.0,) * len(n_mels)
+    if len(fmin) != len(n_mels):
+        if len(fmin) == 1:  # broadcast a single value across scales
+            fmin = tuple(fmin) * len(n_mels)
+        elif tuple(fmin) == (0.0, 0.0):  # the untouched length-2 default
+            fmin = (0.0,) * len(n_mels)
+        # else: a user-supplied fmin of the wrong length falls through to
+        # the alignment check below instead of being silently replaced
     if len({len(n_mels), len(window_lengths), len(fmin), len(fmax)}) != 1:
         raise ValueError(
             f"scale lists must align: n_mels {len(n_mels)}, windows "

@@ -149,6 +149,19 @@ def _tp_spec_for_path(path, shape, tp: int, fsdp: int) -> P:
     parent = names[-2] if len(names) >= 2 else ""
     grandparent = names[-3] if len(names) >= 3 else ""
 
+    # Time-conditioning heads stay REPLICATED: their outputs ((B, 6*dim)
+    # AdaLN vector, (B, 2*dim) final shift/scale) are consumed by every
+    # block, so the backward sums one batch-sharded cotangent per block and
+    # then needs it in the kernel-grad layout — fsdp-sharding these kernels
+    # puts that layout on a transposed device order the SPMD partitioner
+    # can only reach by full rematerialization (an all-gather +
+    # re-partition EVERY step, MULTICHIP_r02.json).  They are <1% of
+    # parameters (8M of 875M at XL), so replication is free memory-wise
+    # and removes the resharding entirely.
+    if any(n in ("time_ada", "time_ada_final", "time_embed", "final_block")
+           for n in names):
+        return P()
+
     if tp > 1 and leaf == "kernel" and len(shape) == 2:
         if parent in ("to_q", "to_k", "to_v") and shape[1] % tp == 0:
             return P(None, "tp")

@@ -94,6 +94,10 @@ class GenerationServer:
 
     # ------------------------------------------------------------------
     def submit(self, text: str, seed: Optional[int] = None) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError(
+                "GenerationServer is stopped; requests submitted now would "
+                "never be processed")
         req = _Request(text=text, seed=int(seed if seed is not None
                                            else np.random.randint(0, 2**31 - 1)))
         self.stats["requests"] += 1
@@ -105,16 +109,21 @@ class GenerationServer:
         return self.submit(text, seed).result(timeout)
 
     # ------------------------------------------------------------------
-    def _slot_noise(self, seed: int) -> np.ndarray:
+    def _slot_noise(self, seed: int, length: Optional[float] = None
+                    ) -> np.ndarray:
         """(frames, latent_dim) starting noise for one slot, identical to
         what a solo ``generate_audio(random_seed=seed)`` would draw
-        (PRNGKey(seed) -> split -> k_noise -> normal)."""
+        (PRNGKey(seed) -> split -> k_noise -> normal, in the model dtype)."""
         import jax
 
-        frames = int(self.gen_kwargs["length"] * self.ez.latent_sr)
+        if length is None:
+            length = self.gen_kwargs["length"]
+        frames = int(length * self.ez.latent_sr)
         k_noise, _ = jax.random.split(jax.random.PRNGKey(int(seed)))
+        dtype = getattr(self.ez, "dtype", None)
+        kw = {"dtype": dtype} if dtype is not None else {}
         return np.asarray(jax.random.normal(
-            k_noise, (1, frames, self.ez.latent_dim)))[0]
+            k_noise, (1, frames, self.ez.latent_dim), **kw))[0]
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:

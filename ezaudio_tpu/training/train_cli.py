@@ -146,6 +146,9 @@ def main(argv=None):
 
             if global_step % args.log_step == 0:
                 window = [float(v) for v in losses[-args.log_step:]]
+                # only the last log window is ever read — drop older entries
+                # so long runs don't accumulate unbounded live device buffers
+                del losses[:-args.log_step]
                 msg = (f"{time.asctime()}  step {global_step}  "
                        f"loss {np.mean(window):.6f}  "
                        f"({args.log_step / (time.time() - t0):.2f} it/s)\n")
@@ -169,9 +172,11 @@ def main(argv=None):
 
         # final BLOCKING save runs while the guard is still active, so a
         # second SIGTERM during the (possibly long) write is absorbed
-        # instead of killing the process mid-checkpoint.  Skip when the
-        # loop exited exactly on a periodic-save boundary — orbax raises
-        # StepAlreadyExistsError on a duplicate step
+        # instead of killing the process mid-checkpoint.  When the loop
+        # exited exactly on a periodic-save boundary, our CheckpointManager
+        # options make the duplicate-step save return False and SKIP
+        # silently (it does NOT raise) — skip_existing waits for the async
+        # write instead, so the final state is never silently dropped
         if global_step % args.save_every_step != 0:
             trainer.save_checkpoint(os.path.abspath(save_dir), global_step)
         else:
