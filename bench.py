@@ -65,7 +65,21 @@ def main():
         t5_cfg = T5EncoderConfig(vocab_size=512, d_model=d, d_kv=64,
                                  d_ff=2 * d, num_layers=2, num_heads=8)
 
-    ez = EzAudio(model_name=model_name, t5_config=t5_cfg, dtype=jnp.bfloat16)
+    # BENCH_CHIPS=N (or "all"): run the pipeline dp-sharded over an N-chip
+    # mesh through the public API (prompt batch + CFG pair over dp, VAE
+    # decode chunks sharded); throughput is still reported PER CHIP.
+    mesh = None
+    chips_env = os.environ.get("BENCH_CHIPS")
+    if chips_env:
+        n = (jax.local_device_count() if chips_env == "all"
+             else int(chips_env))
+        if n > 1:
+            from ezaudio_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=n, devices=jax.devices()[:n])
+
+    ez = EzAudio(model_name=model_name, t5_config=t5_cfg, dtype=jnp.bfloat16,
+                 mesh=mesh)
 
     prompts = [
         "a dog barking in the distance",
@@ -85,7 +99,7 @@ def main():
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
-    n_chips = jax.local_device_count()
+    n_chips = mesh.size if mesh is not None else jax.local_device_count()
     audio_sec = batch * length_s
 
     # 1) the reference's own recipe (api/ezaudio.py:101-103 defaults)

@@ -15,7 +15,15 @@ Differences by design (TPU-first):
     mesh shards (see ezaudio_tpu.parallel);
   * the whole denoise loop is one compiled program per
     (batch, frames, steps, guidance) signature — repeat calls hit the jit
-    cache.
+    cache;
+  * multi-chip: pass ``mesh=make_mesh()`` (ezaudio_tpu.parallel) and every
+    ``generate_audio`` / ``editing_audio`` call runs sharded — the prompt
+    batch (and the CFG pair riding the same axis) splits over ``dp``,
+    DiT parameters follow the tp/fsdp rules of
+    :func:`ezaudio_tpu.parallel.mesh.dit_param_shardings`, and the VAE
+    decode shards its chunk batch.  Batches that do not divide the mesh are
+    padded internally (noise is drawn at the request batch first, so a
+    (prompt, seed) pair reproduces the single-chip draw exactly).
 """
 
 from __future__ import annotations
@@ -91,6 +99,7 @@ class EzAudio:
         vae_config: Optional[dict] = None,
         dtype=jnp.float32,
         seed: int = 0,
+        mesh=None,
     ):
         if config is not None:
             self.params_cfg = ConfigDict.wrap(config)
@@ -170,6 +179,23 @@ class EzAudio:
         self.max_length = cfg.text_encoder.max_length
         self.tokenizer = get_tokenizer(tokenizer_path, self.t5_cfg.vocab_size)
 
+        # --- device mesh (multi-chip inference) ---
+        # The reference wires its one distribution strategy into the
+        # user-facing layer via accelerator.prepare
+        # (audiotools/ml/accelerator.py:83-105); ours is declarative: place
+        # the params once, shard every call's batch axis, let XLA insert
+        # the collectives.
+        self.mesh = mesh
+        if mesh is not None:
+            from ezaudio_tpu.parallel.mesh import (
+                dit_param_shardings, replicate)
+
+            self.dit_params = jax.tree.map(
+                jax.device_put, self.dit_params,
+                dit_param_shardings(mesh, self.dit_params))
+            self.autoencoder.params = replicate(mesh, self.autoencoder.params)
+            self.t5_params = replicate(mesh, self.t5_params)
+
         # --- schedule ---
         self.noise_scheduler = DDIMSchedule.from_config(cfg.diff)
 
@@ -183,14 +209,39 @@ class EzAudio:
         self._sampler = functools.lru_cache(maxsize=32)(self._sampler_impl)
 
     # ------------------------------------------------------------------
+    @property
+    def _world(self) -> int:
+        """Data-parallel world size (the batch axis splits this many ways)."""
+        if self.mesh is None:
+            return 1
+        return (self.mesh.shape.get("dp", 1) * self.mesh.shape.get("fsdp", 1))
+
+    def _shard_rows(self, x):
+        """Commit ``x`` with its leading axis split over the data-parallel
+        mesh axes (replicated when the axis doesn't divide)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = tuple(a for a in ("dp", "fsdp") if self.mesh.shape.get(a, 1) > 1)
+        if axes and hasattr(x, "ndim") and x.ndim >= 1 \
+                and x.shape[0] % self._world == 0:
+            spec = P(axes)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    # ------------------------------------------------------------------
     def _uncond_embedding_impl(self, batch: int):
         """Cached empty-prompt embedding (CFG uncond branch)."""
         return self.embed_text([""] * batch)
 
     def embed_text(self, texts: Sequence[str]):
         ids, mask = self.tokenizer(list(texts), max_length=self.max_length)
-        emb = self._encode_text(self.t5_params, jnp.asarray(ids), jnp.asarray(mask))
-        return emb, jnp.asarray(mask)
+        ids = self._shard_rows(jnp.asarray(ids))
+        mask = self._shard_rows(jnp.asarray(mask))
+        emb = self._encode_text(self.t5_params, ids, mask)
+        return emb, mask
 
     # ------------------------------------------------------------------
     def _sampler_impl(self, steps: int, guidance_scale, guidance_rescale, eta,
@@ -286,9 +337,17 @@ class EzAudio:
         key = jax.random.PRNGKey(random_seed)
         k_noise, k_steps = jax.random.split(key)
 
-        cond, cond_mask = self.embed_text(texts)
+        # pad the batch to a multiple of the data-parallel world; the noise
+        # is drawn at the REQUEST batch first (below) so a (prompt, seed)
+        # pair reproduces the single-chip draw regardless of padding
+        world = self._world
+        pad_n = (-B) % world
+        texts_p = list(texts) + [texts[-1]] * pad_n
+        Bp = B + pad_n
+
+        cond, cond_mask = self.embed_text(texts_p)
         if guidance_scale:
-            uncond, uncond_mask = self._uncond_embedding(B)
+            uncond, uncond_mask = self._uncond_embedding(Bp)
             ctx = jnp.concatenate([cond, uncond], axis=0)
             cmask = jnp.concatenate([cond_mask, uncond_mask], axis=0)
         else:
@@ -306,13 +365,27 @@ class EzAudio:
         if not use_gt:
             gt = jnp.zeros((B, frames, self.latent_dim), self.dtype)
             gt_mask = jnp.zeros((B, frames, 1), bool)
+
+        def pad_rows(x):
+            if pad_n == 0:
+                return jnp.asarray(x)
+            x = jnp.asarray(x)
+            return jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad_n, axis=0)], axis=0)
+
+        noise, gt, gt_mask = pad_rows(noise), pad_rows(gt), pad_rows(gt_mask)
+        if self.mesh is not None:
+            noise = self._shard_rows(noise)
+            ctx, cmask = self._shard_rows(ctx), self._shard_rows(cmask)
+            gt, gt_mask = self._shard_rows(gt), self._shard_rows(gt_mask)
+
         run = self._sampler(int(ddim_steps), guidance_scale, guidance_rescale,
                             float(eta), use_gt,
                             tuple(guidance_interval) if guidance_interval else None,
                             sampler, quant,
                             tuple(layer_cache) if layer_cache else None)
         latents = run(self.dit_params, noise, ctx, cmask, gt, gt_mask, k_steps)
-        return latents
+        return latents[:B] if pad_n else latents
 
     # ------------------------------------------------------------------
     def generate_audio(
@@ -377,12 +450,19 @@ class EzAudio:
         # in sub-batches so large prompt batches never exhaust HBM.  Dispatch
         # every chunk before materializing any: chunk i+1 decodes on-device
         # while chunk i rides the host transfer (the transfer is the larger
-        # cost through the tunnel — BASELINE.md round-2 probe).
+        # cost through the tunnel — BASELINE.md round-2 probe).  On a mesh
+        # the chunk batch shards over dp (4 rows per chip).
         B = pred.shape[0]
-        chunk = min(B, 4)
-        parts = [self.autoencoder.decode(pred[i : i + chunk])
-                 for i in range(0, B, chunk)]
-        wav = np.concatenate([np.asarray(p)[..., 0] for p in parts], axis=0)
+        world = self._world
+        pad = (-B) % world
+        if pad:
+            pred = jnp.concatenate(
+                [pred, jnp.repeat(pred[-1:], pad, axis=0)], axis=0)
+        chunk = min(B + pad, 4 * world)
+        parts = [self.autoencoder.decode(self._shard_rows(pred[i : i + chunk]))
+                 for i in range(0, B + pad, chunk)]
+        wav = np.concatenate(
+            [np.asarray(p)[..., 0] for p in parts], axis=0)[:B]
         return self.sr, (wav if batched else wav[0])
 
     # ------------------------------------------------------------------

@@ -54,10 +54,16 @@ class GenerationServer:
         self.ez = ez
         self.max_batch_size = max_batch_size
         self.max_wait = max_wait_ms / 1000.0
-        self.buckets = sorted(set(
-            list(batch_buckets
-                 or [b for b in (1, 2, 4, 8, 16) if b <= max_batch_size])
-            + [max_batch_size]))  # always a bucket >= any drained batch
+        # on a mesh, align buckets to the data-parallel world so padded
+        # batches shard without extra internal padding in generate_audio
+        world = getattr(ez, "_world", 1) or 1
+        if world > 1:
+            self.max_batch_size = max_batch_size = (
+                -(-max_batch_size // world) * world)
+        buckets = list(batch_buckets
+                       or [b for b in (1, 2, 4, 8, 16) if b <= max_batch_size])
+        self.buckets = sorted({-(-b // world) * world for b in buckets}
+                              | {max_batch_size})  # a bucket >= any drain
         self.gen_kwargs = dict(length=length, ddim_steps=ddim_steps,
                                guidance_scale=guidance_scale,
                                guidance_rescale=guidance_rescale,

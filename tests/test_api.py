@@ -219,3 +219,66 @@ class TestMixedBatchCFG:
                            "cache_info")
         assert not hasattr(EzAudio.__dict__.get("_uncond_embedding_impl"),
                            "cache_info")
+
+
+class TestMeshAPI:
+    """Multi-chip inference through the PUBLIC API (VERDICT r2 item 1):
+    the prompt batch + CFG pair shard over dp on an 8-virtual-device mesh
+    and the result equals the single-device output."""
+
+    @pytest.fixture(scope="class")
+    def mesh_ez(self):
+        import jax
+
+        from ezaudio_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=8, devices=jax.devices()[:8])
+        return make_tiny_ezaudio(mesh=mesh)
+
+    def test_divisible_batch_equals_single_device(self, ez, mesh_ez):
+        prompts = [f"sound number {i}" for i in range(8)]
+        _, w0 = ez.generate_audio(prompts, length=2, ddim_steps=4,
+                                  random_seed=7)
+        _, w1 = mesh_ez.generate_audio(prompts, length=2, ddim_steps=4,
+                                       random_seed=7)
+        np.testing.assert_allclose(w1, w0, atol=1e-5)
+
+    def test_padded_batch_equals_single_device(self, ez, mesh_ez):
+        # 5 prompts on 8 devices: internal pad to 8, noise drawn at the
+        # request batch so the draw matches the solo call exactly
+        prompts = [f"sound number {i}" for i in range(5)]
+        _, w0 = ez.generate_audio(prompts, length=2, ddim_steps=4,
+                                  random_seed=7)
+        _, w1 = mesh_ez.generate_audio(prompts, length=2, ddim_steps=4,
+                                       random_seed=7)
+        assert w1.shape == w0.shape == (5, 2 * TINY_SR)
+        np.testing.assert_allclose(w1, w0, atol=1e-5)
+
+    def test_single_prompt_on_mesh(self, mesh_ez):
+        sr, wav = mesh_ez.generate_audio("one prompt", length=2,
+                                         ddim_steps=4, random_seed=1)
+        assert wav.shape == (2 * TINY_SR,)
+        assert np.isfinite(wav).all()
+
+    def test_editing_on_mesh(self, ez, mesh_ez):
+        _, base = mesh_ez.generate_audio("base", length=2, ddim_steps=4,
+                                         random_seed=3)
+        _, e0 = ez.editing_audio("edit", boundary=0.25, gt_file=base,
+                                 mask_start=0.5, mask_length=0.5,
+                                 ddim_steps=4, random_seed=5)
+        _, e1 = mesh_ez.editing_audio("edit", boundary=0.25, gt_file=base,
+                                      mask_start=0.5, mask_length=0.5,
+                                      ddim_steps=4, random_seed=5)
+        np.testing.assert_allclose(e1, e0, atol=1e-5)
+
+    def test_server_drains_onto_mesh(self, mesh_ez):
+        from ezaudio_tpu.serving import GenerationServer
+
+        with GenerationServer(mesh_ez, max_batch_size=8, length=2,
+                              ddim_steps=4) as srv:
+            # buckets aligned to the dp world
+            assert all(b % 8 == 0 for b in srv.buckets), srv.buckets
+            futs = [srv.submit(f"req {i}", seed=i) for i in range(3)]
+            for f in futs:
+                sr, w = f.result(timeout=300)
+                assert np.isfinite(w).all()
