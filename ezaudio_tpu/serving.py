@@ -12,10 +12,18 @@ Design:
     batch to fill);
   * batches are padded to a fixed set of bucket sizes so every call reuses
     a compiled program (no shape churn);
+  * heterogeneous lengths: each request may carry its own ``length``;
+    requests are grouped by *length bucket* (``length_buckets``, rounded
+    up) so each group hits one compiled program, and the waveform is
+    trimmed to the requested length afterwards — the latent-frame analog
+    of the batch buckets;
+  * editing requests (``submit_edit``) ride the same queue and are served
+    per-request (the editing API is single-clip by contract);
   * each request carries its own seed; results come back through futures.
 
 This is a host-side component; the device work is EzAudio.generate_audio's
-jitted pipeline.
+jitted pipeline (which itself shards over a device mesh when the EzAudio
+was built with one — see ezaudio_tpu.api.ezaudio).
 """
 
 from __future__ import annotations
@@ -33,6 +41,10 @@ import numpy as np
 class _Request:
     text: str
     seed: int
+    kind: str = "generate"            # "generate" | "edit"
+    length: Optional[float] = None    # requested seconds (generate)
+    bucket: Optional[float] = None    # compiled length bucket (generate)
+    edit_kwargs: Optional[dict] = None
     future: Future = field(default_factory=Future)
 
 
@@ -44,6 +56,7 @@ class GenerationServer:
         max_wait_ms: float = 50.0,
         batch_buckets: Optional[Sequence[int]] = None,
         length: float = 10.0,
+        length_buckets: Optional[Sequence[float]] = None,
         ddim_steps: int = 100,
         guidance_scale: float = 5.0,
         guidance_rescale: float = 0.75,
@@ -64,7 +77,13 @@ class GenerationServer:
                        or [b for b in (1, 2, 4, 8, 16) if b <= max_batch_size])
         self.buckets = sorted({-(-b // world) * world for b in buckets}
                               | {max_batch_size})  # a bucket >= any drain
-        self.gen_kwargs = dict(length=length, ddim_steps=ddim_steps,
+        self.default_length = float(length)
+        # length buckets: a per-request length rounds UP to the nearest
+        # bucket (one compiled program per bucket); lengths above every
+        # bucket run at their exact value (a new compile per distinct value)
+        self.length_buckets = sorted(
+            {float(b) for b in (length_buckets or [])} | {self.default_length})
+        self.gen_kwargs = dict(ddim_steps=ddim_steps,
                                guidance_scale=guidance_scale,
                                guidance_rescale=guidance_rescale,
                                sampler=sampler, quant=quant,
@@ -72,7 +91,8 @@ class GenerationServer:
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self.stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self.stats = {"requests": 0, "batches": 0, "padded_slots": 0,
+                      "edit_requests": 0}
 
     # ------------------------------------------------------------------
     def start(self):
@@ -99,20 +119,56 @@ class GenerationServer:
         self.stop()
 
     # ------------------------------------------------------------------
-    def submit(self, text: str, seed: Optional[int] = None) -> Future:
+    def _length_bucket(self, length: float) -> float:
+        for b in self.length_buckets:
+            if length <= b:
+                return b
+        return float(length)  # above every bucket: exact-length program
+
+    def submit(self, text: str, seed: Optional[int] = None,
+               length: Optional[float] = None) -> Future:
+        """Enqueue a generation request.  ``length`` (seconds) defaults to
+        the server's configured length; it is rounded up to a length bucket
+        for compilation reuse and the result is trimmed back."""
         if self._stop.is_set():
             raise RuntimeError(
                 "GenerationServer is stopped; requests submitted now would "
                 "never be processed")
-        req = _Request(text=text, seed=int(seed if seed is not None
-                                           else np.random.randint(0, 2**31 - 1)))
+        length = float(length if length is not None else self.default_length)
+        req = _Request(text=text,
+                       seed=int(seed if seed is not None
+                                else np.random.randint(0, 2**31 - 1)),
+                       length=length, bucket=self._length_bucket(length))
         self.stats["requests"] += 1
         self._q.put(req)
         return req.future
 
+    def submit_edit(self, text: str, gt_file, boundary: float,
+                    mask_start: float, mask_length: float,
+                    seed: Optional[int] = None, **kw) -> Future:
+        """Enqueue an editing (inpaint/outpaint) request — served through
+        the same scheduler, dispatched per-request (the editing API is
+        single-clip; reference api/ezaudio.py:132-207)."""
+        if self._stop.is_set():
+            raise RuntimeError(
+                "GenerationServer is stopped; requests submitted now would "
+                "never be processed")
+        edit_kwargs = dict(gt_file=gt_file, boundary=boundary,
+                           mask_start=mask_start, mask_length=mask_length,
+                           **kw)
+        req = _Request(text=text,
+                       seed=int(seed if seed is not None
+                                else np.random.randint(0, 2**31 - 1)),
+                       kind="edit", edit_kwargs=edit_kwargs)
+        self.stats["requests"] += 1
+        self.stats["edit_requests"] += 1
+        self._q.put(req)
+        return req.future
+
     def generate(self, text: str, seed: Optional[int] = None,
-                 timeout: Optional[float] = None) -> Tuple[int, np.ndarray]:
-        return self.submit(text, seed).result(timeout)
+                 timeout: Optional[float] = None,
+                 length: Optional[float] = None) -> Tuple[int, np.ndarray]:
+        return self.submit(text, seed, length=length).result(timeout)
 
     # ------------------------------------------------------------------
     def _slot_noise(self, seed: int, length: Optional[float] = None
@@ -123,7 +179,7 @@ class GenerationServer:
         import jax
 
         if length is None:
-            length = self.gen_kwargs["length"]
+            length = self.default_length
         frames = int(length * self.ez.latent_sr)
         k_noise, _ = jax.random.split(jax.random.PRNGKey(int(seed)))
         dtype = getattr(self.ez, "dtype", None)
@@ -157,39 +213,72 @@ class GenerationServer:
                 break
         return batch
 
+    # ------------------------------------------------------------------
+    def _run_generate(self, bucket_len: float, group: List[_Request]):
+        n = len(group)
+        size = self._bucket(n)
+        # pad slots repeat real prompts: an empty-string pad would trip
+        # the reference's "empty prompt -> CFG off" rule for the whole
+        # batch (api/ezaudio.py generate_audio); batch elements are
+        # independent through the model, so duplicates are harmless
+        texts = [group[i % n].text for i in range(size)]
+        self.stats["batches"] += 1
+        self.stats["padded_slots"] += size - n
+        try:
+            # per-request seeds: each slot's starting noise comes from
+            # that request's own PRNGKey (matching a solo
+            # generate_audio(random_seed=seed, length=bucket) draw), so a
+            # (text, seed, length-bucket) triple reproduces across batch
+            # compositions — exactly for the deterministic samplers
+            # (eta=0 ddim / dpm); the shared eta-noise stream still
+            # follows group[0].seed
+            extra = {}
+            if hasattr(self.ez, "latent_sr") and hasattr(self.ez,
+                                                         "latent_dim"):
+                extra["initial_latents"] = np.stack([
+                    self._slot_noise(group[i % n].seed, bucket_len)
+                    for i in range(size)])
+            sr, wavs = self.ez.generate_audio(
+                texts, random_seed=group[0].seed, length=bucket_len,
+                **extra, **self.gen_kwargs)
+            for i, r in enumerate(group):
+                wav = np.asarray(wavs[i])
+                if r.length is not None and r.length < bucket_len:
+                    wav = wav[: int(r.length * sr)]
+                r.future.set_result((sr, wav))
+        except Exception as e:  # propagate to all waiters
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def _run_edit(self, req: _Request):
+        self.stats["batches"] += 1
+        try:
+            # pass through only the knobs editing_audio accepts (it has its
+            # own guidance defaults and no sampler switch — DDIM parity)
+            kw = {k: self.gen_kwargs[k]
+                  for k in ("ddim_steps", "quant", "layer_cache")
+                  if k in self.gen_kwargs}
+            kw.update(req.edit_kwargs)
+            sr, wav = self.ez.editing_audio(req.text, random_seed=req.seed,
+                                            **kw)
+            req.future.set_result((sr, np.asarray(wav)))
+        except Exception as e:
+            if not req.future.done():
+                req.future.set_exception(e)
+
     def _loop(self):
         while not self._stop.is_set():
             batch = self._drain()
             if not batch:
                 continue
-            n = len(batch)
-            size = self._bucket(n)
-            # pad slots repeat real prompts: an empty-string pad would trip
-            # the reference's "empty prompt -> CFG off" rule for the whole
-            # batch (api/ezaudio.py generate_audio); batch elements are
-            # independent through the model, so duplicates are harmless
-            texts = [batch[i % n].text for i in range(size)]
-            self.stats["batches"] += 1
-            self.stats["padded_slots"] += size - n
-            try:
-                # per-request seeds: each slot's starting noise comes from
-                # that request's own PRNGKey (matching a solo
-                # generate_audio(random_seed=seed) draw), so a (text, seed)
-                # pair reproduces across batch compositions — exactly for
-                # the deterministic samplers (eta=0 ddim / dpm); the shared
-                # eta-noise stream still follows batch[0].seed
-                extra = {}
-                if hasattr(self.ez, "latent_sr") and hasattr(self.ez,
-                                                             "latent_dim"):
-                    extra["initial_latents"] = np.stack([
-                        self._slot_noise(batch[i % n].seed)
-                        for i in range(size)])
-                sr, wavs = self.ez.generate_audio(
-                    texts, random_seed=batch[0].seed, **extra,
-                    **self.gen_kwargs)
-                for i, r in enumerate(batch):
-                    r.future.set_result((sr, np.asarray(wavs[i])))
-            except Exception as e:  # propagate to all waiters
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+            # group by (kind, length-bucket): each generate group hits one
+            # compiled program; edits dispatch per-request
+            groups = {}
+            for r in batch:
+                if r.kind == "edit":
+                    self._run_edit(r)
+                else:
+                    groups.setdefault(r.bucket, []).append(r)
+            for bucket_len, group in sorted(groups.items()):
+                self._run_generate(bucket_len, group)

@@ -12,6 +12,9 @@ Env:  SERVE_RECIPE=fast|default   (fast = DPM-25 + layer_cache(2,2),
       the quality-validated recipe from BASELINE.md)
       SERVE_SECONDS=60            window per load point
       SERVE_MAX_BATCH=8
+      SERVE_MIXED=1               heterogeneous workload: request lengths
+                                  drawn 50/50 from {5 s, 10 s} (served via
+                                  length buckets); reports per-length p50/p99
 """
 
 import os
@@ -56,47 +59,62 @@ def main():
                          num_layers=2, num_heads=8)
     ez = EzAudio(model_name="s3_xl", t5_config=t5, dtype=jnp.bfloat16)
 
+    mixed = os.environ.get("SERVE_MIXED", "0") == "1"
+    lengths = (5.0, 10.0) if mixed else (10.0,)
+
     kw = (dict(ddim_steps=25, sampler="dpm", layer_cache=(2, 2))
           if recipe == "fast" else dict(ddim_steps=100))
     server = GenerationServer(ez, max_batch_size=max_batch,
-                              max_wait_ms=200.0, **kw).start()
+                              max_wait_ms=200.0, length=10.0,
+                              length_buckets=lengths, **kw).start()
 
-    # warm every bucket size so steady-state never pays a compile
-    print(f"warming jit buckets {server.buckets} ({recipe} recipe)...",
-          flush=True)
+    # warm every (batch bucket x length bucket) so steady-state never
+    # pays a compile
+    print(f"warming jit buckets {server.buckets} x lengths {lengths} "
+          f"({recipe} recipe)...", flush=True)
     for b in server.buckets:
-        ez.generate_audio(PROMPTS[:b], random_seed=0, length=10.0,
-                          guidance_scale=5.0, guidance_rescale=0.75, **kw)
+        for L in lengths:
+            ez.generate_audio(PROMPTS[:b], random_seed=0, length=L,
+                              guidance_scale=5.0, guidance_rescale=0.75, **kw)
 
     rng = np.random.default_rng(0)
     for rps in rates:
-        lat, lock = [], threading.Lock()
+        lat, lock = {L: [] for L in lengths}, threading.Lock()
         t_end = time.perf_counter() + window
         futures = []
         n_sent = 0
+        audio_s_served = 0.0
         server.stats.update(batches=0, padded_slots=0)
         while time.perf_counter() < t_end:
             gap = rng.exponential(1.0 / rps)
             time.sleep(gap)
             t0 = time.perf_counter()
-            f = server.submit(PROMPTS[n_sent % len(PROMPTS)], seed=n_sent)
+            L = lengths[n_sent % len(lengths)] if mixed else lengths[0]
+            f = server.submit(PROMPTS[n_sent % len(PROMPTS)], seed=n_sent,
+                              length=L)
             f.add_done_callback(
-                lambda fut, t0=t0: (lock.acquire(),
-                                    lat.append(time.perf_counter() - t0),
-                                    lock.release()))
+                lambda fut, t0=t0, L=L: (
+                    lock.acquire(),
+                    lat[L].append(time.perf_counter() - t0),
+                    lock.release()))
             futures.append(f)
             n_sent += 1
+            audio_s_served += L
         for f in futures:
             f.result(timeout=600)
-        lat = np.array(sorted(lat))
-        done = len(lat)
+        all_lat = np.array(sorted(v for vs in lat.values() for v in vs))
+        done = len(all_lat)
         pad = server.stats["padded_slots"]
-        eff = done / max(1, done + pad)  # fraction of batch slots doing real work
-        print(f"[{recipe}] offered {rps:.2f} req/s: served {done} in "
-              f"{window:.0f}s ({done/window:.2f} req/s = "
-              f"{done*10.0/window:.1f} audio-s/s), p50 "
-              f"{np.percentile(lat, 50):.2f}s p95 "
-              f"{np.percentile(lat, 95):.2f}s, "
+        eff = done / max(1, done + pad)  # fraction of slots doing real work
+        per_len = "  ".join(
+            f"{L:.0f}s: p50 {np.percentile(ls, 50):.2f}s "
+            f"p99 {np.percentile(ls, 99):.2f}s (n={len(ls)})"
+            for L, ls in sorted(lat.items()) if ls)
+        print(f"[{recipe}{'/mixed' if mixed else ''}] offered {rps:.2f} "
+              f"req/s: served {done} in {window:.0f}s "
+              f"({done/window:.2f} req/s = {audio_s_served/window:.1f} "
+              f"audio-s/s), p50 {np.percentile(all_lat, 50):.2f}s "
+              f"p99 {np.percentile(all_lat, 99):.2f}s | {per_len} | "
               f"{server.stats['batches']} batches, slot-fill {eff:.0%}",
               flush=True)
     server.stop()
