@@ -73,6 +73,29 @@ def mulaw_quantization(signal: np.ndarray, quantization_channels: int) -> np.nda
                          quantization_channels)
 
 
+def mnru(signal: np.ndarray, q_db: float, seed: int = 0) -> np.ndarray:
+    """Modulated Noise Reference Unit (ITU-T P.810): multiplicative noise
+    at a given Q (signal-to-modulated-noise ratio in dB),
+    ``y = x * (1 + 10^(-Q/20) * n)`` with n ~ N(0, 1).  The standard
+    reference degradation family for anchoring intrusive quality metrics
+    (P.862 conformance batteries are built on MNRU conditions)."""
+    rng = np.random.default_rng(seed)
+    n = rng.standard_normal(np.shape(signal))
+    return (signal * (1.0 + 10.0 ** (-q_db / 20.0) * n)).astype(np.float32)
+
+
+def band_limit(signal: np.ndarray, sr: int, cutoff_hz: float,
+               kind: str = "low") -> np.ndarray:
+    """Brickwall FFT band-limit (``kind='low'`` keeps f <= cutoff,
+    ``'high'`` keeps f >= cutoff) — the band-limiting leg of metric
+    conformance batteries."""
+    spec = np.fft.rfft(signal, axis=-1)
+    f = np.fft.rfftfreq(np.shape(signal)[-1], 1.0 / sr)
+    mask = (f <= cutoff_hz) if kind == "low" else (f >= cutoff_hz)
+    return np.fft.irfft(spec * mask, np.shape(signal)[-1],
+                        axis=-1).astype(np.float32)
+
+
 def preemphasis(signal: np.ndarray, coef: float = 0.85) -> np.ndarray:
     """y[t] = x[t] - coef * x[t-1] (dsp.py preemphasis)."""
     out = np.array(signal, np.float32)
