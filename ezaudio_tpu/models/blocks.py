@@ -191,6 +191,22 @@ class Attention(nn.Module):
 
             out = flash_attention_tpu(q, k, v, key_mask=context_mask,
                                       scale=scale)
+        elif impl in ("bf16", "chunked", "chunked_bf16"):
+            # batch-scaling variants (VERDICT r2 item 5): bf16 halves the
+            # score-matrix HBM traffic; 'chunked' scans Lq tiles so only a
+            # (B, H, 128, Lk) score tile is live at a time.  Measured A/B:
+            # scripts/perf_probe11.py / BASELINE.md round-3 section.
+            sm = jnp.bfloat16 if impl.endswith("bf16") else jnp.float32
+            mask = make_attention_mask(L, context_mask)
+            if impl.startswith("chunked"):
+                from ezaudio_tpu.ops.attention import (
+                    chunked_dot_product_attention)
+
+                out = chunked_dot_product_attention(
+                    q, k, v, mask=mask, scale=scale, softmax_dtype=sm)
+            else:
+                out = dot_product_attention(q, k, v, mask=mask, scale=scale,
+                                            softmax_dtype=sm)
         else:
             mask = make_attention_mask(L, context_mask)
             out = dot_product_attention(q, k, v, mask=mask, scale=scale)

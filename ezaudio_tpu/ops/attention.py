@@ -28,17 +28,21 @@ def dot_product_attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    softmax_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Attention over (B, H, Lq, D) x (B, H, Lk, D) -> (B, H, Lq, D).
 
     ``mask`` broadcasts against (B, H, Lq, Lk); True = attend.
-    Softmax runs in float32 regardless of input dtype.
+    ``softmax_dtype``: the logits/softmax compute+storage dtype — float32
+    by default; bfloat16 halves the score-matrix HBM traffic (the dominant
+    per-sample batch-scaling term at L=500, BASELINE.md probe4/probe6) at
+    reduced softmax precision (quality-check before serving with it).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * jnp.float32(scale)
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=softmax_dtype
+    ) * jnp.asarray(scale, softmax_dtype)
     if mask is not None:
         neg = jnp.finfo(logits.dtype).max
         logits = jnp.where(mask, logits, -neg)
@@ -48,6 +52,46 @@ def dot_product_attention(
         preferred_element_type=jnp.float32,
     )
     return out.astype(v.dtype)
+
+
+def chunked_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    q_chunk: int = 128,
+    softmax_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Query-chunked einsum attention: a ``lax.scan`` over Lq tiles so only
+    a (B, H, q_chunk, Lk) score tile is live at a time instead of the full
+    (B, H, Lq, Lk) materialization — the no-new-kernel alternative to flash
+    attention for trimming attention-score memory at large batch
+    (VERDICT r2 item 5; the Pallas kernels lose at this geometry because
+    head_dim 72 pads to 128 lanes, BASELINE.md probe5).
+
+    ``mask`` must be query-independent (shape (..., 1, Lk)) — the EzAudio
+    usage (key-validity masks only).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B, H, L, D = q.shape
+    if mask is not None:
+        assert mask.ndim == 4 and mask.shape[2] == 1, (
+            "chunked attention needs a query-independent mask", mask.shape)
+    pad = (-L) % q_chunk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else q
+    nc = (L + pad) // q_chunk
+    q_tiles = qp.reshape(B, H, nc, q_chunk, D).transpose(2, 0, 1, 3, 4)
+
+    def body(_, q_tile):
+        o = dot_product_attention(q_tile, k, v, mask=mask, scale=scale,
+                                  softmax_dtype=softmax_dtype)
+        return None, o
+
+    _, outs = jax.lax.scan(body, None, q_tiles)
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(B, H, L + pad, D)
+    return out[:, :, :L, :] if pad else out
 
 
 def make_attention_mask(

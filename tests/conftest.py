@@ -28,7 +28,32 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persist compiled programs across test runs (most suite time is compiles).
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+#
+# The cache directory is keyed by a HOST-CPU fingerprint: XLA:CPU stores
+# AOT-compiled executables, and loading one on a machine without the
+# compile-time ISA features (this pool rotates VM types: AMX /
+# prefer-no-scatter differ across hosts) logs a cpu_aot_loader feature-
+# mismatch error and then fatally aborts in an Eigen worker thread — the
+# round-2 "non-reproducing" flagship-fsdp crash (root-caused round 3 by
+# the stress loop in /tmp/stress_fsdp_FAIL_1.log; BASELINE.md note).
+import hashlib  # noqa: E402
+
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache",
+                          _cpu_fingerprint())
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
