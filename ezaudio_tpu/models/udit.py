@@ -61,6 +61,13 @@ class UDiT(nn.Module):
     skip: bool = True
     skip_norm: bool = True
     attention_impl: str = "auto"  # auto | einsum | pallas | flash | ring
+    # remat policy under use_checkpoint: "full" recomputes the whole block
+    # in backward (minimum memory, +1 forward of FLOPs); "dots" saves
+    # matmul outputs and recomputes only elementwise work
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — the
+    # standard memory/FLOPs middle ground for transformer training.
+    # "auto" reads EZAUDIO_REMAT at trace time (default "full").
+    remat_policy: str = "auto"  # auto | full | dots
     dtype: Any = jnp.float32
 
     @property
@@ -186,7 +193,24 @@ class UDiT(nn.Module):
                     [jnp.ones((B, tt.shape[1]), dtype=bool), x_mask], axis=1)
             time_token = None
 
-        Block = nn.remat(DiTBlock) if self.use_checkpoint else DiTBlock
+        if self.use_checkpoint:
+            pol = self.remat_policy
+            if pol == "auto":
+                import os
+
+                pol = os.environ.get("EZAUDIO_REMAT", "full")
+            if pol == "dots":
+                import jax
+
+                Block = nn.remat(
+                    DiTBlock,
+                    policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable)
+            else:
+                assert pol == "full", f"unknown remat_policy {pol!r}"
+                Block = nn.remat(DiTBlock)
+        else:
+            Block = DiTBlock
 
         def run(blk, x, skip=None):
             return blk(x, time_token, time_ada, skip, context_token,

@@ -1,0 +1,520 @@
+"""Mid-scale quality validation of the acceleration recipes (VERDICT r2
+item 3: the round-2 table came from a depth-4/dim-128 toy on synthetic
+tone-bank latents; the layer-cache cliff and sampler rankings needed
+re-measuring at a credible proxy scale).
+
+This harness:
+  * synthesizes a 4-class audio distribution at 24 kHz (class = carrier
+    f0 x amplitude-modulation rate) and encodes it through the ACTUAL
+    production Oobleck VAE architecture (configs/vae.json: x480
+    downsample -> real 500-frame / 128-channel latents; random weights —
+    no published checkpoints exist in this image, and the latent
+    *distribution* is what the diffusion model learns either way);
+  * trains a mid MaskDiT (default depth 12 / dim 512 / 8 heads — between
+    the toy and s3_l) for a few thousand TPU steps on those latents;
+  * scores every acceleration recipe with the same Frechet-distance +
+    conditional-accuracy harness as scripts/quality_validate.py, PLUS the
+    two families that never had a quality row: flow matching
+    (diffusion/flow.py, trains a second model) and progressive
+    distillation (diffusion/distill.py, 2 halving stages).
+
+Sanity gate: the conditional readout (AM rate of the latent energy
+envelope) must classify the REFERENCE latents at >= 0.95 accuracy before
+any training happens — otherwise the harness itself is broken.
+
+Run (TPU):  python -u scripts/quality_validate_mid.py
+Env knobs (defaults in brackets): MID_DEPTH [12] MID_DIM [512]
+MID_HEADS [8] MID_FRAMES [500] MID_TRAIN_STEPS [4000] MID_BATCH [16]
+MID_N_TRAIN [1024] MID_N_EVAL [128] MID_EVAL_CHUNK [32] MID_FLOW [1]
+MID_DISTILL [1] MID_DISTILL_STEPS [1500]
+CPU smoke:  MID_DEPTH=2 MID_DIM=64 MID_FRAMES=50 MID_TRAIN_STEPS=30
+            MID_N_TRAIN=32 MID_N_EVAL=16 MID_EVAL_CHUNK=8
+Writes a markdown table to stdout; paste into BASELINE.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if os.environ.get("MID_CPU") == "1":
+    # the axon sitecustomize force-overrides JAX_PLATFORMS; the config
+    # knob wins (CLAUDE.md) — CPU smoke runs must not touch the shared TPU
+    jax.config.update("jax_platforms", "cpu")
+else:
+    _cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+E = os.environ.get
+DEPTH = int(E("MID_DEPTH", "12"))
+DIM = int(E("MID_DIM", "512"))
+HEADS = int(E("MID_HEADS", "8"))
+FRAMES = int(E("MID_FRAMES", "500"))
+TRAIN_STEPS = int(E("MID_TRAIN_STEPS", "4000"))
+BATCH = int(E("MID_BATCH", "16"))
+N_TRAIN = int(E("MID_N_TRAIN", "1024"))
+N_EVAL = int(E("MID_N_EVAL", "128"))
+CHUNK = int(E("MID_EVAL_CHUNK", "32"))
+RUN_FLOW = E("MID_FLOW", "1") == "1"
+RUN_DISTILL = E("MID_DISTILL", "1") == "1"
+DISTILL_STEPS = int(E("MID_DISTILL_STEPS", "1500"))
+
+Lc, D = 4, 64
+N_CLASS = 4
+F0S = (220.0, 330.0, 440.0, 660.0)
+AMS = (2.0, 4.0, 7.0, 11.0)
+GUIDANCE = 3.0
+LATENT_FPS = 50.0  # frames per second at x480 / 24 kHz
+
+
+# ---------------------------------------------------------------------------
+# data: 4-class audio -> real Oobleck latents
+# ---------------------------------------------------------------------------
+
+def synth_clip(rng, cls: int, n_samples: int, sr: int) -> np.ndarray:
+    t = np.arange(n_samples) / sr
+    f0, am = F0S[cls], AMS[cls]
+    carrier = sum(np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi))
+                  / k for k in range(1, 5))
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * am * t + rng.uniform(0, 2 * np.pi))
+    x = carrier * env + 0.003 * rng.standard_normal(n_samples)
+    return (0.5 * x / np.abs(x).max()).astype(np.float32)
+
+
+def make_vae():
+    from ezaudio_tpu.codecs.facade import AutoencoderFacade
+    from ezaudio_tpu.codecs.oobleck import vae_from_config
+    from ezaudio_tpu.config import MODEL_REGISTRY
+
+    with open(os.path.join(os.path.dirname(MODEL_REGISTRY["vae"]["config"]),
+                           "vae.json")) as f:
+        vae_cfg = json.load(f)
+    model = vae_from_config(vae_cfg, dtype=jnp.float32)
+    r = model.downsampling_ratio
+    params = model.init({"params": jax.random.PRNGKey(11),
+                         "sample": jax.random.PRNGKey(12)},
+                        jnp.zeros((1, 4 * r, 1)))["params"]
+    return AutoencoderFacade(model, params), vae_cfg["sample_rate"], r
+
+
+def encode_dataset(n_clips: int, seed: int):
+    """(n, FRAMES, C) normalized latents + class labels via the real VAE."""
+    facade, sr, ratio = make_vae()
+    n_samples = FRAMES * ratio
+    rng = np.random.default_rng(seed)
+    cls = rng.integers(0, N_CLASS, n_clips)
+    lats = []
+    eb = max(1, min(8, n_clips))
+    for i in range(0, n_clips, eb):
+        wavs = np.stack([synth_clip(rng, int(c), n_samples, sr)
+                         for c in cls[i : i + eb]])
+        z = facade.encode(wavs[:, :, None], sample=False)
+        lats.append(np.asarray(z, np.float32))
+    lat = np.concatenate(lats, axis=0)
+    return lat, cls
+
+
+def class_text(cls: np.ndarray) -> np.ndarray:
+    txt = np.zeros((len(cls), Lc, D), np.float32)
+    txt[np.arange(len(cls)), :, cls] = 1.0
+    return txt
+
+
+def latent_class(lat: np.ndarray) -> np.ndarray:
+    """Readout: AM rate of the per-frame energy envelope -> class."""
+    lat = np.asarray(lat, np.float32)
+    e = (lat ** 2).mean(-1)
+    e = e - e.mean(1, keepdims=True)
+    spec = np.abs(np.fft.rfft(e, axis=1))
+    seconds = lat.shape[1] / LATENT_FPS
+    bins = [int(round(am * seconds)) for am in AMS]
+    # each class scores the energy in a +-1-bin window around its AM line
+    scores = np.stack([spec[:, max(b - 1, 1) : b + 2].max(1) for b in bins],
+                      axis=1)
+    return scores.argmax(1)
+
+
+def features(lat: np.ndarray) -> np.ndarray:
+    """Per-sample embedding for the Frechet distance: channel stats +
+    energy-envelope spectrum bands."""
+    lat = np.asarray(lat, np.float32)
+    mean = lat.mean(1)
+    std = lat.std(1)
+    e = (lat ** 2).mean(-1)
+    e = e - e.mean(1, keepdims=True)
+    spec = np.abs(np.fft.rfft(e, axis=1))
+    nb = 16
+    edges = np.linspace(1, spec.shape[1], nb + 1).astype(int)
+    bands = np.stack([spec[:, a:b].mean(1)
+                      for a, b in zip(edges[:-1], edges[1:])], axis=1)
+    return np.concatenate([mean, std, bands], axis=1)
+
+
+# ---------------------------------------------------------------------------
+
+def main():  # noqa: C901 — linear experiment script
+    from ezaudio_tpu.audio.metrics import frechet_audio_distance
+    from ezaudio_tpu.diffusion.ddim import DDIMSchedule
+    from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
+    from ezaudio_tpu.diffusion.sampling import (
+        sample_latents, sample_latents_layer_cached)
+    from ezaudio_tpu.models.maskdit import maskdit_from_config
+    from ezaudio_tpu.training.optim import make_optimizer
+    from ezaudio_tpu.training.trainer import TrainState, make_train_step
+
+    C = 128  # production latent channels (vae.json)
+    print(f"mid-scale harness: depth {DEPTH} dim {DIM} heads {HEADS} "
+          f"L={FRAMES} C={C}; {TRAIN_STEPS} steps batch {BATCH}; "
+          f"{N_TRAIN}+{N_EVAL} clips through the real Oobleck VAE",
+          flush=True)
+
+    t0 = time.time()
+    lat_train, cls_train = encode_dataset(N_TRAIN, seed=0)
+    lat_eval, cls_eval = encode_dataset(N_EVAL, seed=1)
+    mu = lat_train.mean((0, 1), keepdims=True)
+    sd = lat_train.std((0, 1), keepdims=True) + 1e-6
+    lat_train = (lat_train - mu) / sd
+    lat_eval = (lat_eval - mu) / sd
+    print(f"encoded {N_TRAIN}+{N_EVAL} clips in {time.time()-t0:.0f}s; "
+          f"latent std pre-norm {float(sd.mean()):.4f}", flush=True)
+
+    # harness sanity gate: the readout must classify REFERENCE latents
+    acc_ref = float((latent_class(lat_eval) == cls_eval).mean())
+    print(f"readout accuracy on reference latents: {acc_ref:.3f}",
+          flush=True)
+    assert acc_ref >= 0.95, (
+        "conditional readout cannot classify the reference latents — "
+        "harness invalid at this geometry")
+
+    model_cfg = dict(
+        mae=False, mae_prob=0.0, mask_ratio=[0.25, 1.0], mask_span=4,
+        img_size=FRAMES, patch_size=1, in_chans=C, out_chans=C,
+        input_type="1d", embed_dim=DIM, depth=DEPTH, num_heads=HEADS,
+        mlp_ratio=4.0, qkv_bias=False, qk_scale=None, qk_norm="layernorm",
+        norm_layer="layernorm", act_layer="geglu", context_norm=True,
+        use_checkpoint=False, time_fusion="ada_sola_bias",
+        ada_sola_rank=32, ada_sola_alpha=32, cls_dim=None,
+        context_dim=D, context_fusion="cross", context_max_length=None,
+        context_pe_method="none", pe_method="none", rope_mode="shared",
+        use_conv=True, skip=True, skip_norm=True,
+    )
+    diff_cfg = dict(num_train_timesteps=1000, beta_schedule="scaled_linear",
+                    beta_start=0.00085, beta_end=0.012,
+                    prediction_type="v_prediction",
+                    rescale_betas_zero_snr=True, timestep_spacing="trailing",
+                    clip_sample=False)
+
+    model = maskdit_from_config(model_cfg)
+    schedule = DDIMSchedule.from_config(diff_cfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "mask": key},
+                        jnp.zeros((1, FRAMES, C)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 1, D)))["params"]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"mid MaskDiT: {n_params/1e6:.1f}M params", flush=True)
+
+    def train(loss_kind: str, steps: int, seed: int):
+        """Train a fresh model copy; loss_kind 'diffusion' | 'flow'."""
+        p0 = model.init({"params": jax.random.PRNGKey(seed),
+                         "mask": jax.random.PRNGKey(seed)},
+                        jnp.zeros((1, FRAMES, C)),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 1, D)))["params"]
+        tx = make_optimizer(p0, learning_rate=2e-4, warmup=200)
+        if loss_kind == "diffusion":
+            step = make_train_step(model, schedule, tx, cfg_dropout=0.1)
+        else:
+            from ezaudio_tpu.diffusion.flow import (
+                FlowSchedule, flow_matching_loss)
+
+            fsched = FlowSchedule()
+            import functools
+
+            import optax
+
+            def loss_fn(p, batch, rng):
+                k_t, k_n, k_cfg = jax.random.split(rng, 3)
+                x0 = batch["latents"]
+                B = x0.shape[0]
+                drop = jax.random.uniform(k_cfg, (B,)) < 0.1
+                text = jnp.where(drop[:, None, None],
+                                 jnp.zeros_like(batch["text"]), batch["text"])
+                noise = jax.random.normal(k_n, x0.shape, x0.dtype)
+                t = jax.random.uniform(k_t, (B,))
+
+                def apply(pp, xt, tt, rngs=None):
+                    return model.apply({"params": pp}, xt, tt, text)
+
+                return flow_matching_loss(apply, p, x0, noise, t,
+                                          schedule=fsched)
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _step(state, batch, rng):
+                rng = jax.random.fold_in(rng, state.step)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, batch, rng)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                p = optax.apply_updates(state.params, updates)
+                return state.replace(step=state.step + 1, params=p,
+                                     opt_state=opt_state), {"loss": loss}
+
+            step = _step
+        state = TrainState.create(p0, tx)
+        rng = np.random.default_rng(seed)
+        t1 = time.time()
+        for i in range(steps):
+            idx = rng.integers(0, N_TRAIN, BATCH)
+            batch = {"latents": jnp.asarray(lat_train[idx]),
+                     "text": jnp.asarray(class_text(cls_train[idx])),
+                     "text_mask": jnp.ones((BATCH, Lc), bool),
+                     "uncond": jnp.zeros((1, Lc, D), jnp.float32),
+                     "uncond_mask": jnp.ones((1, Lc), bool)}
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            if i % 500 == 0 or i == steps - 1:
+                print(f"  [{loss_kind}] step {i}: "
+                      f"loss {float(metrics['loss']):.4f} "
+                      f"({time.time()-t1:.0f}s)", flush=True)
+        return state.params
+
+    diff_params = train("diffusion", TRAIN_STEPS, seed=0)
+
+    # ------------------------------------------------------------------
+    # evaluation harness: chunked sampling, params as jit args
+    # ------------------------------------------------------------------
+    feats_ref = features(lat_eval)
+    txt_eval = class_text(cls_eval)
+    noise_all = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (N_EVAL, FRAMES, C)))
+
+    def model_fn_for(ctx_pair):
+        def model_fn(lat, t):
+            n = lat.shape[0]
+            out, _ = model.apply({"params": model_fn.params}, lat, t,
+                                 ctx_pair[:n])
+            return out
+        return model_fn
+
+    def run_config(builder, quant_int8=False):
+        """builder(params, noise_c, ctx_pair) -> latents, jitted once and
+        mapped over eval chunks (params as jit args — never closure
+        constants; CLAUDE.md probe8 lesson)."""
+        jfn = jax.jit(builder)
+        outs = []
+        for i in range(0, N_EVAL, CHUNK):
+            noise_c = jnp.asarray(noise_all[i : i + CHUNK])
+            txt_c = jnp.asarray(txt_eval[i : i + CHUNK])
+            ctx_pair = jnp.concatenate([txt_c, jnp.zeros_like(txt_c)], 0)
+            if quant_int8:
+                import ezaudio_tpu.ops.quant as qm
+                from ezaudio_tpu.ops.quant import quant_context
+
+                prev, qm.MIN_QUANT_ELEMENTS = qm.MIN_QUANT_ELEMENTS, 0
+                try:
+                    with quant_context("int8"):
+                        out = np.asarray(jfn(diff_params, noise_c, ctx_pair))
+                finally:
+                    qm.MIN_QUANT_ELEMENTS = prev
+            else:
+                out = np.asarray(jfn(diff_params, noise_c, ctx_pair))
+            outs.append(out)
+        return np.concatenate(outs, axis=0)
+
+    def apply_base(params, lat, t, ctx_pair, **kw):
+        n = lat.shape[0]
+        return model.apply({"params": params}, lat, t, ctx_pair[:n], **kw)
+
+    def ddim(steps, interval=None):
+        def builder(params, noise_c, ctx_pair):
+            return sample_latents(
+                lambda lat, t: apply_base(params, lat, t, ctx_pair)[0],
+                schedule, noise_c, jax.random.PRNGKey(8), steps,
+                guidance_scale=GUIDANCE, guidance_rescale=0.0, eta=1.0,
+                guidance_interval=interval)
+        return builder
+
+    def dpm(steps, layer_cache=None):
+        def builder(params, noise_c, ctx_pair):
+            kw = {}
+            if layer_cache is not None:
+                k, m = layer_cache
+                kw = dict(layer_cache_fns=(
+                    lambda lat, t: apply_base(params, lat, t, ctx_pair,
+                                              collect_deep_k=k)[0],
+                    lambda lat, t, deep: apply_base(
+                        params, lat, t, ctx_pair, deep_cache=(k, deep))[0]),
+                    cache_interval=m)
+            return dpm_solver_sample(
+                lambda lat, t: apply_base(params, lat, t, ctx_pair)[0],
+                schedule, noise_c, steps, guidance_scale=GUIDANCE, **kw)
+        return builder
+
+    def ddim_lc(steps, k, m):
+        def builder(params, noise_c, ctx_pair):
+            return sample_latents_layer_cached(
+                lambda lat, t: apply_base(params, lat, t, ctx_pair,
+                                          collect_deep_k=k)[0],
+                lambda lat, t, deep: apply_base(
+                    params, lat, t, ctx_pair, deep_cache=(k, deep))[0],
+                schedule, noise_c, jax.random.PRNGKey(8), steps,
+                cache_interval=m, guidance_scale=GUIDANCE)
+        return builder
+
+    half = DEPTH // 2
+    k_lc = min(2, half - 1)
+    configs = [
+        ("DDIM-100 (reference default)", ddim(100), {}),
+        ("DDIM-50", ddim(50), {}),
+        ("DPM-Solver++(2M)-25", dpm(25), {}),
+        ("DPM-Solver++(2M)-10", dpm(10), {}),
+        ("DDIM-100 + interval(100,900)", ddim(100, (100, 900)), {}),
+        ("DDIM-100 + interval(300,800)", ddim(100, (300, 800)), {}),
+        ("DDIM-100 int8 (all linears)", ddim(100), {"quant_int8": True}),
+    ]
+    if k_lc >= 1:  # layer caching needs half >= 2
+        configs += [
+            (f"DDIM-100 + layer_cache(k={k_lc},m=2)",
+             ddim_lc(100, k_lc, 2), {}),
+            (f"DDIM-100 + layer_cache(k={k_lc},m=4)",
+             ddim_lc(100, k_lc, 4), {}),
+            (f"DPM-25 + layer_cache(k={k_lc},m=2) (36x recipe)",
+             dpm(25, (k_lc, 2)), {}),
+        ]
+
+    rows = []
+
+    def score(name, out):
+        fad = frechet_audio_distance(features(out), feats_ref)
+        acc = float((latent_class(out) == cls_eval).mean())
+        rows.append((name, fad, acc))
+        print(f"| {name} | {fad:.3f} | {acc:.2f} |", flush=True)
+
+    print("\n| sampler | FAD (latent feats) vs data | cond. class acc |")
+    print("|---|---|---|", flush=True)
+    for name, builder, kw in configs:
+        score(name, run_config(builder, **kw))
+
+    # ------------------------------------------------------------------
+    # flow matching — its first quality rows (VERDICT r2 missing #5)
+    # ------------------------------------------------------------------
+    if RUN_FLOW:
+        from ezaudio_tpu.diffusion.flow import FlowSchedule, flow_sample
+
+        flow_params = train("flow", TRAIN_STEPS, seed=100)
+        fsched = FlowSchedule()
+
+        def flow_builder(steps):
+            def builder(params, noise_c, ctx_pair):
+                def model_fn(x, t):
+                    n = x.shape[0]
+                    out, _ = model.apply(
+                        {"params": params}, x,
+                        jnp.broadcast_to(t, (n,)), ctx_pair[:n])
+                    return out
+                return flow_sample(model_fn, fsched, noise_c, steps,
+                                   guidance_scale=GUIDANCE)
+            return builder
+
+        for steps in (50, 25):
+            jfn = jax.jit(flow_builder(steps))
+            outs = []
+            for i in range(0, N_EVAL, CHUNK):
+                noise_c = jnp.asarray(noise_all[i : i + CHUNK])
+                txt_c = jnp.asarray(txt_eval[i : i + CHUNK])
+                ctx_pair = jnp.concatenate(
+                    [txt_c, jnp.zeros_like(txt_c)], 0)
+                outs.append(np.asarray(jfn(flow_params, noise_c, ctx_pair)))
+            score(f"flow-matching Euler-{steps} + CFG",
+                  np.concatenate(outs, 0))
+
+    # ------------------------------------------------------------------
+    # progressive distillation: 16 -> 8 -> 4, CFG distilled in at stage 1
+    # ------------------------------------------------------------------
+    if RUN_DISTILL:
+        from ezaudio_tpu.diffusion.distill import (
+            distill_tables, distilled_sample, make_distill_step)
+
+        def student_apply(p, x, t, batch):
+            t = jnp.broadcast_to(t, (x.shape[0],))
+            out, _ = model.apply({"params": p}, x, t, batch["text"])
+            return out
+
+        def guided_builder(batch, t_params):
+            def fn(x, t):
+                t = jnp.broadcast_to(t, (x.shape[0],))
+                pair = jnp.concatenate([x, x], axis=0)
+                tp = jnp.concatenate([t, t], axis=0)
+                ctx = jnp.concatenate(
+                    [batch["text"], jnp.zeros_like(batch["text"])], axis=0)
+                out, _ = model.apply({"params": t_params}, pair, tp, ctx)
+                cond, unc = jnp.split(out, 2, axis=0)
+                return unc + GUIDANCE * (cond - unc)
+            return fn
+
+        def plain_builder(batch, t_params):
+            def fn(x, t):
+                return student_apply(t_params, x, t, batch)
+            return fn
+
+        t_params = diff_params
+        stage_params = {}
+        rng = np.random.default_rng(7)
+        for si, n_student in enumerate((8, 4)):
+            tables = distill_tables(schedule, n_student)
+            builder = guided_builder if si == 0 else plain_builder
+            tx_s = make_optimizer(t_params, learning_rate=1e-4, warmup=100)
+            st = TrainState.create(t_params, tx_s)
+            dstep = make_distill_step(student_apply, builder, schedule,
+                                      tx_s, tables, teacher_params=t_params)
+            t1 = time.time()
+            for i in range(DISTILL_STEPS):
+                idx = rng.integers(0, N_TRAIN, BATCH)
+                batch = {"latents": jnp.asarray(lat_train[idx]),
+                         "text": jnp.asarray(class_text(cls_train[idx]))}
+                st, metrics = dstep(st, batch, jax.random.PRNGKey(50_000 + i))
+                if i % 500 == 0 or i == DISTILL_STEPS - 1:
+                    print(f"  [distill {16 >> si}->{n_student}] step {i}: "
+                          f"loss {float(metrics['loss']):.5f} "
+                          f"({time.time()-t1:.0f}s)", flush=True)
+            t_params = st.params
+            stage_params[n_student] = t_params
+
+        for n_student in (8, 4):
+            tables = distill_tables(schedule, n_student)
+
+            def builder(params, noise_c, ctx_pair, tables=tables):
+                def student_fn(x, t):
+                    n = x.shape[0]
+                    t = jnp.broadcast_to(t, (n,))
+                    out, _ = model.apply({"params": params}, x, t,
+                                         ctx_pair[:n])
+                    return out
+                return distilled_sample(student_fn, schedule, noise_c,
+                                        tables)
+
+            jfn = jax.jit(builder)
+            outs = []
+            for i in range(0, N_EVAL, CHUNK):
+                noise_c = jnp.asarray(noise_all[i : i + CHUNK])
+                txt_c = jnp.asarray(txt_eval[i : i + CHUNK])
+                outs.append(np.asarray(jfn(
+                    stage_params[n_student], noise_c, txt_c)))
+            score(f"distilled-{n_student} (no CFG pair)",
+                  np.concatenate(outs, 0))
+
+    print("\nsummary rows:", len(rows))
+
+
+if __name__ == "__main__":
+    main()
