@@ -50,15 +50,11 @@ def _probe_sr(path: str) -> int:
 
 
 def transcribe(wav: np.ndarray, sr: int, model: str = "openai/whisper-base"):
-    """Whisper transcription seam (audiotools whisper mixin equivalent).
-    Requires local Whisper weights; raises with instructions otherwise."""
-    try:
-        import torch  # noqa: F401
-        from transformers import WhisperForConditionalGeneration  # noqa: F401
-    except ImportError as e:
-        raise ImportError("transformers/torch required for transcription") from e
-    raise ImportError(
-        "Whisper weights are not available in this zero-egress environment. "
-        "With a local checkout, load WhisperProcessor/"
-        "WhisperForConditionalGeneration.from_pretrained(<local path>) and "
-        "pass 16 kHz audio.")
+    """Whisper transcription (audiotools whisper mixin equivalent).
+
+    Fully implemented in ezaudio_tpu.audio.whisper; `model` must be a LOCAL
+    snapshot directory in this zero-egress environment (hub ids raise from
+    transformers with a clear offline error)."""
+    from ezaudio_tpu.audio.whisper import WhisperWrapper
+
+    return WhisperWrapper(model=model).transcript(wav, sr)

@@ -219,6 +219,42 @@ class AudioSignal:
         return self
 
     # ------------------------------------------------------------------
+    # Playback / notebook embeds (PlayMixin equivalent, playback.py:39-216)
+    def embed(self, display: bool = True) -> str:
+        from ezaudio_tpu.audio.playback import embed_html
+
+        return embed_html(self.audio_data[0], self.sample_rate, display=display)
+
+    def widget(self, title: Optional[str] = None, **kwargs) -> str:
+        from ezaudio_tpu.audio.playback import widget_html
+
+        return widget_html(self.audio_data[0], self.sample_rate,
+                           title=title, **kwargs)
+
+    def play(self) -> "AudioSignal":
+        from ezaudio_tpu.audio.playback import play as _play
+
+        _play(self.audio_data[0], self.sample_rate)
+        return self
+
+    # ------------------------------------------------------------------
+    # Whisper extraction (WhisperMixin equivalent, whisper.py:7-97);
+    # `wrapper` is a WhisperWrapper — required for transcript/embeddings
+    # (no weights ship in this image), optional for features.
+    def get_whisper_features(self, wrapper=None):
+        if wrapper is not None:
+            return wrapper.features(self.audio_data[0], self.sample_rate)
+        from ezaudio_tpu.audio.whisper import whisper_features
+
+        return whisper_features(self.audio_data[0], self.sample_rate)
+
+    def get_whisper_transcript(self, wrapper) -> str:
+        return wrapper.transcript(self.audio_data[0], self.sample_rate)
+
+    def get_whisper_embeddings(self, wrapper):
+        return wrapper.embeddings(self.audio_data[0], self.sample_rate)
+
+    # ------------------------------------------------------------------
     def _coerce(self, other):
         return other.audio_data if isinstance(other, AudioSignal) else other
 
