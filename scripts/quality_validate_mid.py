@@ -306,10 +306,21 @@ def main():  # noqa: C901 — linear experiment script
             return out
         return model_fn
 
-    def run_config(builder, quant_int8=False):
+    def run_config(builder, quant_int8=False, attn_impl=None):
         """builder(params, noise_c, ctx_pair) -> latents, jitted once and
         mapped over eval chunks (params as jit args — never closure
-        constants; CLAUDE.md probe8 lesson)."""
+        constants; CLAUDE.md probe8 lesson).  attn_impl sets
+        EZAUDIO_ATTN_IMPL for the whole config (trace-time env — the jit
+        traces on the first chunk under this setting)."""
+        if attn_impl is not None:
+            os.environ["EZAUDIO_ATTN_IMPL"] = attn_impl
+        try:
+            return _run_config_inner(builder, quant_int8)
+        finally:
+            if attn_impl is not None:
+                os.environ.pop("EZAUDIO_ATTN_IMPL", None)
+
+    def _run_config_inner(builder, quant_int8):
         jfn = jax.jit(builder)
         outs = []
         for i in range(0, N_EVAL, CHUNK):
@@ -381,6 +392,10 @@ def main():  # noqa: C901 — linear experiment script
         ("DDIM-100 + interval(100,900)", ddim(100, (100, 900)), {}),
         ("DDIM-100 + interval(300,800)", ddim(100, (300, 800)), {}),
         ("DDIM-100 int8 (all linears)", ddim(100), {"quant_int8": True}),
+        # probe11's ~9% winner: bf16 softmax sits in the quality path, so
+        # it only becomes a recommended default if this row holds FAD
+        ("DDIM-100 attn=chunked_bf16", ddim(100),
+         {"attn_impl": "chunked_bf16"}),
     ]
     if k_lc >= 1:  # layer caching needs half >= 2
         configs += [
