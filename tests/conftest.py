@@ -30,26 +30,38 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persist compiled programs across test runs (most suite time is compiles).
 #
 # The cache directory is keyed by a HOST-CPU fingerprint: XLA:CPU stores
-# AOT-compiled executables, and loading one on a machine without the
-# compile-time ISA features (this pool rotates VM types: AMX /
-# prefer-no-scatter differ across hosts) logs a cpu_aot_loader feature-
-# mismatch error and then fatally aborts in an Eigen worker thread — the
-# round-2 "non-reproducing" flagship-fsdp crash (root-caused round 3 by
-# the stress loop in /tmp/stress_fsdp_FAIL_1.log; BASELINE.md note).
+# AOT-compiled executables, and loading one on a machine lacking any
+# compile-time target feature logs a cpu_aot_loader feature-mismatch
+# error and then fatally aborts in an Eigen worker thread — the round-2
+# "non-reproducing" flagship-fsdp crash.  Crucially, the recorded
+# features include XLA-internal tuning pseudo-features
+# (+prefer-no-scatter / +prefer-no-gather) derived from the CPU *model*
+# via LLVM host detection, NOT from the /proc/cpuinfo flags line — two
+# pool VMs with byte-identical flags can still mismatch (observed
+# 2026-08-17: abort inside a flags-keyed cache dir; the stress-loop
+# capture in /tmp/stress_fsdp_FAIL_1.log shows host features lacking
+# prefer-no-scatter while every ISA flag matched).  So the fingerprint
+# hashes the model identity lines (model name / model / stepping —
+# what LLVM's detection keys on) together with the flags line.
 import hashlib  # noqa: E402
 
 
 def _cpu_fingerprint() -> str:
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                key = line.split(":")[0].strip()
+                if key in ("vendor_id", "cpu family", "model",
+                           "model name", "stepping", "flags"):
+                    ident.append(line.strip())
+                if line.strip() == "" and ident:
+                    break  # first core only — all cores identical
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+        ident = [platform.processor()]
+    return hashlib.sha1("\n".join(ident).encode()).hexdigest()[:12]
 
 
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache",
