@@ -11,9 +11,22 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collectives synchronize the 8 virtual device threads through a
+# rendezvous that WARNS at 20 s and then ABORTS THE WHOLE PROCESS at 40 s
+# if any participant thread hasn't arrived ("Termination timeout for
+# `all gather` ... Exiting to ensure a consistent program state",
+# rendezvous.cc F-log -> SIGABRT).  On this 1-core pool VM a participant
+# thread is easily starved past 40 s by concurrent cold compiles / cache
+# compression / other processes, which is the true root cause of the
+# "non-reproducing" flagship-fsdp fatal crash (captured 2026-08-17 in
+# /tmp/suite_r3c.log with a FRESH compile cache, ruling out the earlier
+# AOT-cache-poisoning theory for this mode).  Raise both timeouts so a
+# starved thread waits instead of killing the suite.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = flags
 # Keep compilation deterministic & fast for tests.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
