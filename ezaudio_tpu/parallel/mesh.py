@@ -101,11 +101,68 @@ def replicate(mesh: Mesh, tree):
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
 
 
+# ---------------------------------------------------------------------------
+# Activation sharding constraints (trace-time context, like ring_context)
+# ---------------------------------------------------------------------------
+
+_act_state = __import__("threading").local()
+
+
+class activation_sharding:
+    """Trace-time context: inside it, DiT blocks pin their (B, ...)
+    activations to batch sharding via ``with_sharding_constraint``.
+
+    Without the pin, the SPMD partitioner prefers contracting-dim-sharded
+    matmuls for fsdp-stored kernels and reshards the (small) shared
+    context/x activations from 8-way batch to 4-way feature layouts on a
+    transposed device order — a transition it can only implement by
+    involuntary full rematerialization (the r3 backward warnings).  The
+    pin forces the classic fsdp plan instead: weights all-gather per
+    layer, activations stay batch-sharded.
+
+    Enter around the jit *call* (tracing happens inside).  Not applicable
+    to sp>1 meshes (sequence axis shards activations by design — the ring
+    attention path manages its own layouts).
+    """
+
+    def __init__(self, mesh: Mesh, batch_axes: Sequence[str] = ("dp", "fsdp")):
+        assert dict(mesh.shape).get("sp", 1) == 1, \
+            "activation_sharding is batch-only; sp meshes use ring_context"
+        self.ctx = (mesh, tuple(a for a in batch_axes if a in mesh.axis_names))
+
+    def __enter__(self):
+        self.prev = getattr(_act_state, "ctx", None)
+        _act_state.ctx = self.ctx
+        return self
+
+    def __exit__(self, *exc):
+        _act_state.ctx = self.prev
+        return False
+
+
+def constrain_batch(x):
+    """Pin a (B, ...) activation to batch sharding when an
+    :class:`activation_sharding` context is active; identity otherwise."""
+    ctx = getattr(_act_state, "ctx", None)
+    if ctx is None or x is None or getattr(x, "ndim", 0) < 1:
+        return x
+    mesh, axes = ctx
+    spec = P(axes, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def _fsdp_spec(shape: Tuple[int, ...], fsdp: int) -> P:
-    """Shard the largest divisible axis over fsdp; replicate otherwise."""
-    if fsdp == 1 or not shape:
+    """Shard the largest divisible axis over fsdp; replicate otherwise.
+
+    1-D params (norm scales/biases, linear biases) stay replicated: they
+    are a negligible memory fraction, but sharding them propagates their
+    feature-axis sharding into every activation they broadcast over
+    (e.g. the per-block ``norm_context`` scale made the batch-sharded
+    context D-sharded), which the SPMD partitioner can only undo by
+    involuntary full rematerialization in the backward (r3 warnings)."""
+    if fsdp == 1 or len(shape) < 2:
         return P()
-    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    order = sorted(range(len(shape)), key=lambda i: (-shape[i], -i))
     for i in order:
         if shape[i] % fsdp == 0 and shape[i] >= 2 * fsdp:
             spec = [None] * len(shape)
@@ -160,6 +217,19 @@ def _tp_spec_for_path(path, shape, tp: int, fsdp: int) -> P:
     # and removes the resharding entirely.
     if any(n in ("time_ada", "time_ada_final", "time_embed", "final_block")
            for n in names):
+        return P()
+
+    # Per-block AdaLN params (ada_sola lora_a/lora_b kernels + the (6, dim)
+    # scale_shift_table) are replicated outright: the module's output is
+    # reshaped to (B, 6, dim) and added to the batch-sharded time_ada
+    # vector, so ANY sharded layout on these kernels propagates a feature
+    # sharding into that activation (or its cotangent) that the SPMD
+    # partitioner can only undo by involuntary full rematerialization
+    # (the r3 `out_blocks_*/adaln` warnings; an input-axis P("fsdp",None)
+    # layout was A/B'd and merely moved the warnings to the lora-kernel
+    # grads).  Total cost: (dim*r + r*6*dim + 6*dim) floats per block —
+    # a negligible memory fraction next to the attention/MLP kernels.
+    if "adaln" in names:
         return P()
 
     if tp > 1 and leaf == "kernel" and len(shape) == 2:

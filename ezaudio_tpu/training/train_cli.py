@@ -44,6 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--mesh-fsdp", type=int, default=1)
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat", type=str, default=None,
+                   choices=["full", "dots", "off"],
+                   help="activation-remat policy (probe12: 'off' is the "
+                        "fastest that fits at batch<=8 single-chip, 'dots' "
+                        "the memory/speed middle ground, 'full' the min-"
+                        "memory fallback; default: model config)")
     return p.parse_args(argv)
 
 
@@ -56,6 +62,14 @@ def main(argv=None):
     from ezaudio_tpu.training.trainer import Trainer
 
     params_cfg = load_yaml_with_includes(args.config_name)
+    if args.remat is not None:
+        # probe12 (BASELINE.md round-3 MFU table): remat=off is the fastest
+        # single-chip recipe that fits at batch<=8; dots the middle ground
+        if args.remat == "off":
+            params_cfg.model.use_checkpoint = False
+        else:
+            params_cfg.model.use_checkpoint = True
+            params_cfg.model.remat_policy = args.remat
     stage = "audioset" if params_cfg.model.context_dim is None else "audiocaps"
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 

@@ -57,6 +57,7 @@ def make_train_step(
     snr_gamma: Optional[float] = None,
     cfg_dropout: float = 0.1,
     train_frames: Optional[int] = None,
+    mesh=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -118,9 +119,21 @@ def make_train_step(
         # Training always traces with quantization force-disabled: int8
         # round() has zero gradient, so a lingering EZAUDIO_QUANT=int8 would
         # silently stall training (quant is inference-only by design).
+        import contextlib
+
         from ezaudio_tpu.ops.quant import quant_context
 
-        with quant_context("off"):
+        # On a batch-parallel mesh, pin block activations to batch sharding
+        # during tracing (parallel/mesh.py::activation_sharding) — this
+        # forces the classic fsdp plan (per-layer weight all-gather) and
+        # removes the partitioner's involuntary-full-remat reshards of the
+        # shared context/x tensors in the backward.
+        act = contextlib.nullcontext()
+        if mesh is not None and dict(mesh.shape).get("sp", 1) == 1:
+            from ezaudio_tpu.parallel.mesh import activation_sharding
+
+            act = activation_sharding(mesh)
+        with quant_context("off"), act:
             return _step(state, batch, rng)
 
     return step
@@ -168,7 +181,7 @@ class Trainer:
         step_fn = make_train_step(
             model, schedule, tx, scale=scale, shift=shift,
             snr_gamma=opt_cfg.get("snr_gamma"), cfg_dropout=cfg_dropout,
-            train_frames=train_frames)
+            train_frames=train_frames, mesh=mesh)
         return cls(model=model, schedule=schedule, tx=tx, state=state,
                    step_fn=step_fn, mesh=mesh)
 

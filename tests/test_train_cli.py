@@ -81,6 +81,39 @@ class TestTrainCLI:
         assert int(trainer.state.step) == 4
 
 
+    @pytest.mark.parametrize("remat,expect", [
+        ("dots", dict(use_checkpoint=True, remat_policy="dots")),
+        ("off", dict(use_checkpoint=False)),
+    ])
+    def test_remat_flag_wires_model_config(self, workspace, monkeypatch,
+                                           remat, expect):
+        """--remat selects the probe12 activation-remat policy by rewriting
+        the model config before EzAudio builds the DiT."""
+        root, cfg_path = workspace
+        import ezaudio_tpu.training.train_cli as cli
+        from ezaudio_tpu.api.ezaudio import EzAudio
+
+        orig_init = EzAudio.__init__
+        seen = {}
+
+        def patched(self, *a, **kw):
+            seen.update(kw.get("config") or {})
+            kw.setdefault("t5_config", TINY_T5)
+            kw.setdefault("vae_config", TINY_VAE_CONFIG)
+            return orig_init(self, *a, **kw)
+
+        monkeypatch.setattr(EzAudio, "__init__", patched)
+        cli.main([
+            "--config-name", str(cfg_path), "--max-steps", "1",
+            "--log-step", "10", "--save-every-step", "1000",
+            "--log-dir", str(root / "logs_remat"),
+            "--save-dir", str(root / f"ckpts_remat_{remat}"),
+            "--remat", remat,
+        ])
+        for k, v in expect.items():
+            assert seen["model"][k] == v
+
+
 class TestEvalHarness:
     def test_eval_udit_renders(self, workspace, tmp_path):
         from ezaudio_tpu.training.evaluate import eval_udit
