@@ -113,18 +113,21 @@ def main():
     }
 
     # 2) the fastest QUALITY-VALIDATED recipe (BASELINE.md sampler-quality
-    #    table: DPM-25 FAD within 9% of DDIM-100, layer_cache m=2 within
-    #    12%, composed recipe validated on the same trained model) — skipped
-    #    when the env already pins a non-default recipe.
+    #    tables, toy AND mid-scale: DPM-25 FAD within 4-9% of DDIM-100,
+    #    layer_cache m=2 within 1-12%, chunked_bf16 attention FAD-neutral
+    #    at mid scale and ~9% faster at every batch, composed recipe
+    #    validated on the same trained models) — skipped when the env
+    #    already pins a non-default recipe.
     default_recipe = (ddim_steps == 100 and sampler == "ddim"
                       and quant is None and layer_cache is None)
-    t_fast = (measure(ddim_steps=25, sampler="dpm", layer_cache=(2, 2))
+    t_fast = (measure(ddim_steps=25, sampler="dpm", layer_cache=(2, 2),
+                      attn_impl="chunked_bf16")
               if default_recipe else t_ref)
 
     value = audio_sec / t_fast / n_chips
     result = {
         "metric": (f"{model_name} t2a throughput, quality-validated fast "
-                   f"recipe (DPM-25 + layer_cache(2,2), batch {batch})"
+                   f"recipe (DPM-25 + layer_cache(2,2) + chunked_bf16 attn, batch {batch})"
                    if default_recipe else ref_default["metric"]),
         "value": round(value, 3),
         "unit": "audio-sec/sec/chip",

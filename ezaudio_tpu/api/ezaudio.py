@@ -246,7 +246,8 @@ class EzAudio:
     # ------------------------------------------------------------------
     def _sampler_impl(self, steps: int, guidance_scale, guidance_rescale, eta,
                  use_gt: bool, guidance_interval=None, sampler: str = "ddim",
-                 quant: Optional[str] = None, layer_cache=None):
+                 quant: Optional[str] = None, layer_cache=None,
+                 attn_impl: Optional[str] = None):
         """Compile (and cache) the full denoising program for a signature."""
         schedule = self.noise_scheduler
         dit = self.dit
@@ -314,12 +315,15 @@ class EzAudio:
                 guidance_interval=guidance_interval)
 
         def run(*args):
-            # quant_context is trace-time state: the first call traces the
-            # program inside it (Linear layers pick the int8 MXU path,
-            # ops/quant.py); later calls hit the compiled cache.
+            # quant_context / attention_impl_context are trace-time state:
+            # the first call traces the program inside them (Linear layers
+            # pick the int8 MXU path, Attention picks its impl); later
+            # calls hit the compiled cache.  Both are part of the lru_cache
+            # key in self._sampler, so distinct settings get distinct jits.
+            from ezaudio_tpu.models.blocks import attention_impl_context
             from ezaudio_tpu.ops.quant import quant_context
 
-            with quant_context(quant):
+            with quant_context(quant), attention_impl_context(attn_impl):
                 return _run(*args)
 
         return run
@@ -329,7 +333,7 @@ class EzAudio:
         self, texts: List[str], frames: int,
         guidance_scale, guidance_rescale, ddim_steps, eta, random_seed,
         gt=None, gt_mask=None, guidance_interval=None, sampler="ddim",
-        initial_latents=None, quant=None, layer_cache=None,
+        initial_latents=None, quant=None, layer_cache=None, attn_impl=None,
     ):
         B = len(texts)
         if random_seed is None:
@@ -383,7 +387,8 @@ class EzAudio:
                             float(eta), use_gt,
                             tuple(guidance_interval) if guidance_interval else None,
                             sampler, quant,
-                            tuple(layer_cache) if layer_cache else None)
+                            tuple(layer_cache) if layer_cache else None,
+                            attn_impl)
         latents = run(self.dit_params, noise, ctx, cmask, gt, gt_mask, k_steps)
         return latents[:B] if pad_n else latents
 
@@ -403,8 +408,14 @@ class EzAudio:
         initial_latents=None,
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
+        attn_impl: Optional[str] = None,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
+
+        ``attn_impl``: attention implementation override for this call —
+        ``'chunked_bf16'`` is ~9% faster at every batch size (probe11)
+        and FAD-neutral at mid scale (BASELINE.md round-3 sections);
+        None keeps the einsum-f32 reference-parity default.
 
         ``quant='int8'``: dynamic W8A8 quantization of the DiT linear
         layers — int8 MXU matmuls at ~2x the bf16 rate (ops/quant.py).
@@ -444,7 +455,7 @@ class EzAudio:
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
             random_seed, guidance_interval=guidance_interval, sampler=sampler,
             initial_latents=initial_latents, quant=quant,
-            layer_cache=layer_cache)
+            layer_cache=layer_cache, attn_impl=attn_impl)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # The x480 decoder inflates activations ~1000x vs the latent; decode
         # in sub-batches so large prompt batches never exhaust HBM.  Dispatch
@@ -479,6 +490,7 @@ class EzAudio:
         random_seed: Optional[int] = None,
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
+        attn_impl: Optional[str] = None,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio longer than the training window by chained
         outpainting: generate the first ``window`` seconds, then repeatedly
@@ -493,7 +505,7 @@ class EzAudio:
             text, length=min(window, length),
             guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
             ddim_steps=ddim_steps, eta=eta, random_seed=random_seed,
-            quant=quant, layer_cache=layer_cache)
+            quant=quant, layer_cache=layer_cache, attn_impl=attn_impl)
         step = 0
         while len(audio) < int(length * sr):
             step += 1
@@ -505,7 +517,7 @@ class EzAudio:
                 guidance_scale=guidance_scale,
                 guidance_rescale=guidance_rescale, ddim_steps=ddim_steps,
                 eta=eta, random_seed=random_seed + step,
-                quant=quant, layer_cache=layer_cache)
+                quant=quant, layer_cache=layer_cache, attn_impl=attn_impl)
         return sr, audio[: int(length * sr)]
 
     # ------------------------------------------------------------------
@@ -524,6 +536,7 @@ class EzAudio:
         randomize_seed: bool = False,
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
+        attn_impl: Optional[str] = None,
     ) -> Tuple[int, np.ndarray]:
         """Mask-based editing: regenerate ``[mask_start, mask_start+mask_length)``
         seconds of ``gt_file``, with ``boundary`` seconds of context on each
@@ -574,7 +587,7 @@ class EzAudio:
         latents = self._generate_latents(
             [text], L, guidance_scale, guidance_rescale, ddim_steps, eta,
             random_seed, gt=gt_latent, gt_mask=jnp.asarray(gt_mask),
-            quant=quant, layer_cache=layer_cache)
+            quant=quant, layer_cache=layer_cache, attn_impl=attn_impl)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # paste unmasked gt back (inference.py:104-105), then decode
         pred = jnp.where(jnp.asarray(gt_mask), pred, gt_latent)

@@ -25,6 +25,49 @@ from ezaudio_tpu.ops.norms import LayerNorm, RMSNorm, make_norm
 from ezaudio_tpu.ops.rope import apply_rope_skip_prefix, rope_tables
 
 
+# ---------------------------------------------------------------------------
+# Trace-time attention-impl override (mirrors ops/quant.py::quant_context):
+# `attention_impl="auto"` modules resolve their implementation at TRACE time
+# from this context, falling back to the EZAUDIO_ATTN_IMPL env var.  The
+# public API threads its `attn_impl=` acceleration knob through here (and
+# keys its jit cache on it) so per-call selection works despite jit caching.
+# ---------------------------------------------------------------------------
+
+import contextlib
+import os
+import threading
+
+_attn_state = threading.local()
+
+
+def current_attention_impl() -> str:
+    """The attention impl an `attention_impl='auto'` module should trace
+    with: innermost :func:`attention_impl_context` value, else the
+    ``EZAUDIO_ATTN_IMPL`` env var, else ``'auto'`` (geometry-based choice
+    in ``Attention.__call__``)."""
+    override = getattr(_attn_state, "impl", None)
+    if override is not None:
+        return override
+    return os.environ.get("EZAUDIO_ATTN_IMPL", "auto")
+
+
+@contextlib.contextmanager
+def attention_impl_context(impl: Optional[str]):
+    """Trace-time override of the attention implementation.
+
+    ``None`` is a no-op (defer to env/auto).  Valid impls: einsum (auto),
+    ``bf16``/``chunked``/``chunked_bf16`` (probe11 batch-scaling variants,
+    chunked_bf16 is ~9% faster at every batch and FAD-neutral at mid scale
+    — BASELINE.md round-3 sections), ``pallas``, ``flash``, ``ring``.
+    """
+    prev = getattr(_attn_state, "impl", None)
+    _attn_state.impl = impl if impl is not None else prev
+    try:
+        yield
+    finally:
+        _attn_state.impl = prev
+
+
 class _LinearParams(nn.Module):
     """Declare Linear-shaped params without computing — lets the fused-QKV
     path share the exact param tree of three separate Linears."""
@@ -142,9 +185,7 @@ class Attention(nn.Module):
 
         impl = self.attention_impl
         if impl == "auto":
-            import os
-
-            impl = os.environ.get("EZAUDIO_ATTN_IMPL", "auto")
+            impl = current_attention_impl()
         if impl == "auto":
             # Inside a ring_context with an sp>1 mesh, self-attention routes
             # through the sequence-parallel ring kernel (the context promises
@@ -304,7 +345,12 @@ class DiTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, time_token=None, time_ada=None, skip=None,
                  context=None, x_mask=None, context_mask=None):
+        from ezaudio_tpu.parallel.mesh import constrain_batch
+
         use_adanorm = self.time_fusion != "token"
+        # under an activation_sharding context (fsdp training), pin the
+        # block input to batch sharding — see parallel/mesh.py
+        x = constrain_batch(x)
 
         if self.skip:
             assert skip is not None
@@ -339,10 +385,11 @@ class DiTBlock(nn.Module):
             assert context is not None
             h = make_norm(self.norm_layer, self.dim, dtype=self.dtype, name="norm2")(x)
             if self.context_norm:
-                ctx = make_norm(self.norm_layer, self.context_dim,
-                                dtype=self.dtype, name="norm_context")(context)
+                ctx = constrain_batch(
+                    make_norm(self.norm_layer, self.context_dim,
+                              dtype=self.dtype, name="norm_context")(context))
             else:
-                ctx = context
+                ctx = constrain_batch(context)
             x = x + Attention(
                 dim=self.dim, num_heads=self.num_heads,
                 context_dim=self.context_dim, qkv_bias=self.qkv_bias,

@@ -63,6 +63,7 @@ class GenerationServer:
         sampler: str = "ddim",
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
+        attn_impl: Optional[str] = None,
     ):
         self.ez = ez
         self.max_batch_size = max_batch_size
@@ -87,7 +88,7 @@ class GenerationServer:
                                guidance_scale=guidance_scale,
                                guidance_rescale=guidance_rescale,
                                sampler=sampler, quant=quant,
-                               layer_cache=layer_cache)
+                               layer_cache=layer_cache, attn_impl=attn_impl)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -257,7 +258,7 @@ class GenerationServer:
             # pass through only the knobs editing_audio accepts (it has its
             # own guidance defaults and no sampler switch — DDIM parity)
             kw = {k: self.gen_kwargs[k]
-                  for k in ("ddim_steps", "quant", "layer_cache")
+                  for k in ("ddim_steps", "quant", "layer_cache", "attn_impl")
                   if k in self.gen_kwargs}
             kw.update(req.edit_kwargs)
             sr, wav = self.ez.editing_audio(req.text, random_seed=req.seed,

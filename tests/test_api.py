@@ -77,6 +77,32 @@ class TestJitCache:
         assert f1 is f2
 
 
+class TestAttnImplKnob:
+    """Per-call attention-impl acceleration knob (probe11/BASELINE.md):
+    chunked_bf16 is the quality-validated fast path; it must stay close to
+    the einsum-f32 default and key its own jit cache entry."""
+
+    def test_chunked_bf16_close_to_default(self, ez):
+        _, w_ref = ez.generate_audio("rain", length=2, ddim_steps=4,
+                                     random_seed=5)
+        _, w_fast = ez.generate_audio("rain", length=2, ddim_steps=4,
+                                      random_seed=5, attn_impl="chunked_bf16")
+        assert w_fast.shape == w_ref.shape
+        assert np.isfinite(w_fast).all()
+        # bf16 softmax: small per-step deviation; exact 'chunked' (f32)
+        # must match the einsum default to float tolerance
+        _, w_chunk = ez.generate_audio("rain", length=2, ddim_steps=4,
+                                       random_seed=5, attn_impl="chunked")
+        np.testing.assert_allclose(w_chunk, w_ref, atol=2e-4)
+
+    def test_attn_impl_is_part_of_cache_key(self, ez):
+        f_ref = ez._sampler(4, 5.0, 0.75, 1.0, False, None, "ddim", None,
+                            None, None)
+        f_fast = ez._sampler(4, 5.0, 0.75, 1.0, False, None, "ddim", None,
+                             None, "chunked_bf16")
+        assert f_ref is not f_fast
+
+
 class TestGuidanceInterval:
     def test_full_interval_matches_plain_cfg(self, ez):
         _, w_plain = ez.generate_audio("rain", length=2, ddim_steps=4,
