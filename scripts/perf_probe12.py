@@ -126,7 +126,11 @@ def section_ab():
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
+    # ProfileData event names are full HLO instruction texts; operand
+    # names on the RHS ("fusion(%slice.3, ...)") poison substring
+    # classification (AdamW multiply_add fusions read as data-movement)
+    # — classify on the LHS result name only.
+    n = name.lower().split(" = ", 1)[0].lstrip("%").strip()
     if n.startswith("fusion") or ".fusion" in n:
         return "fusion(mixed)"
     for k in ("dot", "conv", "einsum"):
@@ -173,10 +177,13 @@ def section_profile():
         if "TPU" not in plane.name and "tpu" not in plane.name:
             continue
         for line in plane.lines:
-            lname = line.name.lower()
+            # EXACTLY the synchronous leaf-op line.  'Async XLA Ops'
+            # (copy-start/copy-done DMA) overlaps the compute stream and
+            # its durations span wait time — counting it made
+            # "data-movement" read 81% on a compute-bound step.
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
-                if "xla" not in lname and "op" not in lname:
-                    continue
                 cat_ns[categorize(ev.name)] += ev.duration_ns
                 op_ns[ev.name] += ev.duration_ns
                 total += ev.duration_ns

@@ -405,7 +405,25 @@ def main():  # noqa: C901 — linear experiment script
              ddim_lc(100, k_lc, 4), {}),
             (f"DPM-25 + layer_cache(k={k_lc},m=2) (36x recipe)",
              dpm(25, (k_lc, 2)), {}),
+            # the EXACT bench.py fast recipe (round 3): all three
+            # approximations composed, so the "quality-validated" label on
+            # the reported metric covers the composition, not just the
+            # components
+            (f"DPM-25 + lc({k_lc},2) + chunked_bf16 (bench fast recipe)",
+             dpm(25, (k_lc, 2)), {"attn_impl": "chunked_bf16"}),
+            (f"DPM-25 + lc({k_lc},2) + chunked_bf16 + int8 (max recipe)",
+             dpm(25, (k_lc, 2)),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
         ]
+
+    # MID_ROWS="substr1,substr2": run only rows whose name contains one of
+    # the substrings (case-insensitive) — re-validation subsets reuse the
+    # deterministic retrain instead of paying for the full table
+    row_filter = E("MID_ROWS")
+    if row_filter:
+        pats = [p.strip().lower() for p in row_filter.split(",") if p.strip()]
+        configs = [c for c in configs
+                   if any(p in c[0].lower() for p in pats)]
 
     rows = []
 
