@@ -41,7 +41,7 @@ import numpy as np
 class _Request:
     text: str
     seed: int
-    kind: str = "generate"            # "generate" | "edit"
+    kind: str = "generate"            # "generate" | "edit" | "controlnet"
     length: Optional[float] = None    # requested seconds (generate)
     bucket: Optional[float] = None    # compiled length bucket (generate)
     edit_kwargs: Optional[dict] = None
@@ -64,8 +64,10 @@ class GenerationServer:
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
+        controlnet=None,  # EzAudioControlNet sharing this ez as its base
     ):
         self.ez = ez
+        self.controlnet = controlnet
         self.max_batch_size = max_batch_size
         self.max_wait = max_wait_ms / 1000.0
         # on a mesh, align buckets to the data-parallel world so padded
@@ -93,7 +95,7 @@ class GenerationServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "padded_slots": 0,
-                      "edit_requests": 0}
+                      "edit_requests": 0, "controlnet_requests": 0}
 
     # ------------------------------------------------------------------
     def start(self):
@@ -163,6 +165,32 @@ class GenerationServer:
                        kind="edit", edit_kwargs=edit_kwargs)
         self.stats["requests"] += 1
         self.stats["edit_requests"] += 1
+        self._q.put(req)
+        return req.future
+
+    def submit_controlnet(self, text: str, audio_path, seed: Optional[int]
+                          = None, **kw) -> Future:
+        """Enqueue a ControlNet-conditioned generation (energy/chroma/...)
+        — served through the same scheduler, dispatched per-request (the
+        ControlNet API is single-clip; reference api/controlnet.py:97-160).
+        ``kw`` passes through to ``EzAudioControlNet.generate_audio``
+        (ddim_steps, conditioning_scale, surpass_noise, ...); the server's
+        ``quant``/``sampler`` recipe applies unless overridden here."""
+        if self.controlnet is None:
+            raise ValueError(
+                "this GenerationServer was built without a controlnet=; "
+                "pass an EzAudioControlNet sharing the same base EzAudio")
+        if self._stop.is_set():
+            raise RuntimeError(
+                "GenerationServer is stopped; requests submitted now would "
+                "never be processed")
+        req = _Request(text=text,
+                       seed=int(seed if seed is not None
+                                else np.random.randint(0, 2**31 - 1)),
+                       kind="controlnet",
+                       edit_kwargs=dict(audio_path=audio_path, **kw))
+        self.stats["requests"] += 1
+        self.stats["controlnet_requests"] += 1
         self._q.put(req)
         return req.future
 
@@ -268,17 +296,34 @@ class GenerationServer:
             if not req.future.done():
                 req.future.set_exception(e)
 
+    def _run_controlnet(self, req: _Request):
+        self.stats["batches"] += 1
+        try:
+            # server recipe knobs the ControlNet API accepts; per-request
+            # kwargs win (layer_cache/attn_impl are t2a-only knobs)
+            kw = {k: self.gen_kwargs[k] for k in ("quant", "sampler")
+                  if self.gen_kwargs.get(k) is not None}
+            kw.update(req.edit_kwargs)
+            sr, wav = self.controlnet.generate_audio(
+                req.text, random_seed=req.seed, **kw)
+            req.future.set_result((sr, np.asarray(wav)))
+        except Exception as e:
+            if not req.future.done():
+                req.future.set_exception(e)
+
     def _loop(self):
         while not self._stop.is_set():
             batch = self._drain()
             if not batch:
                 continue
             # group by (kind, length-bucket): each generate group hits one
-            # compiled program; edits dispatch per-request
+            # compiled program; edits/controlnet dispatch per-request
             groups = {}
             for r in batch:
                 if r.kind == "edit":
                     self._run_edit(r)
+                elif r.kind == "controlnet":
+                    self._run_controlnet(r)
                 else:
                     groups.setdefault(r.bucket, []).append(r)
             for bucket_len, group in sorted(groups.items()):

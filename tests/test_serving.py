@@ -4,6 +4,7 @@ import threading
 import time
 
 import numpy as np
+import pytest
 
 from ezaudio_tpu.serving import GenerationServer
 
@@ -229,3 +230,39 @@ class TestHeterogeneousServing:
                                      ddim_steps=4, random_seed=7)
         np.testing.assert_allclose(edited, direct, atol=1e-5)
         assert srv.stats["edit_requests"] == 1
+
+    def test_served_controlnet_path(self):
+        from ezaudio_tpu.api.controlnet import EzAudioControlNet
+        from tests.tiny_config import (TINY_CONFIG, TINY_T5, TINY_SR,
+                                       TINY_VAE_CONFIG)
+
+        cfg = dict(TINY_CONFIG)
+        cfg["controlnet"] = dict(cond_in=1, cond_blocks=[8, 16],
+                                 cond_mask=True, cond_mask_prob=0.25,
+                                 cond_mask_ratio=[0.25, 0.5],
+                                 cond_mask_span=4)
+        cfg["conditioner"] = dict(condition_type="energy", hop_size=8,
+                                  window_size=64, padding="reflect",
+                                  min_db=-60, norm=True)
+        cn = EzAudioControlNet(config=cfg, t5_config=TINY_T5,
+                               vae_config=TINY_VAE_CONFIG)
+        ref = (0.5 * np.sin(2 * np.pi * 55 * np.arange(2 * TINY_SR)
+                            / TINY_SR)).astype(np.float32)
+        with GenerationServer(cn.base, controlnet=cn, max_batch_size=4,
+                              max_wait_ms=200, length=2.0,
+                              ddim_steps=4) as srv:
+            fc = srv.submit_controlnet("a tone", ref, seed=11, ddim_steps=3)
+            fg = srv.submit("generate too", seed=1)
+            sr, served = fc.result(timeout=600)
+            fg.result(timeout=600)
+        assert sr == TINY_SR and served.shape == ref.shape
+        assert np.isfinite(served).all()
+        # matches the direct ControlNet call (same seed, same knobs)
+        _, direct = cn.generate_audio("a tone", ref, ddim_steps=3,
+                                      random_seed=11)
+        np.testing.assert_allclose(served, direct, atol=1e-5)
+        assert srv.stats["controlnet_requests"] == 1
+        # a server without controlnet= rejects the submit loudly
+        with GenerationServer(cn.base, max_batch_size=1) as srv2:
+            with pytest.raises(ValueError, match="controlnet"):
+                srv2.submit_controlnet("x", ref)
