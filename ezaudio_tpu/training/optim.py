@@ -63,8 +63,25 @@ def make_optimizer(
     accumulation_steps: int = 1,
     schedule: str = "customized",
     total_steps: int = 1_000_000,
+    optimizer: str = "adamw",
+    mu_dtype: Optional[str] = None,
+    factor_min_dim: int = 128,
 ) -> optax.GradientTransformation:
-    """AdamW mirroring the reference opt_config.yml defaults."""
+    """AdamW mirroring the reference opt_config.yml defaults.
+
+    HBM-bandwidth levers (probe12 profile: the f32 AdamW update streams
+    ~24.5 GB/step at XL — 15-17% of the device step), both opt-in because
+    they change optimizer numerics:
+
+    * ``mu_dtype='bfloat16'`` keeps the first moment in bf16 (optax
+      casts it per-update), cutting ~2/7 of the optimizer traffic at
+      negligible quality risk (the variance stays f32).
+    * ``optimizer='adafactor'`` replaces the per-param second moment
+      with a factored row/col estimate — ~4 GB less state at XL and the
+      classic memory-bound-training choice.  Wired Adam-like: explicit
+      LR schedule, no parameter-scale multiplier, momentum=beta1 so it
+      remains a drop-in for the trainer's resume/sharding paths.
+    """
     if schedule == "customized":
         lr = warmup_lr_schedule(learning_rate, warmup)
     elif schedule == "cosine":
@@ -75,12 +92,35 @@ def make_optimizer(
     chain = []
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(
-        optax.adamw(
-            learning_rate=lr, b1=beta1, b2=beta2, eps=adam_epsilon,
-            weight_decay=weight_decay, mask=decay_mask(params),
+    if optimizer == "adamw":
+        chain.append(
+            optax.adamw(
+                learning_rate=lr, b1=beta1, b2=beta2, eps=adam_epsilon,
+                weight_decay=weight_decay, mask=decay_mask(params),
+                mu_dtype=mu_dtype,
+            )
         )
-    )
+    elif optimizer == "adafactor":
+        import jax.numpy as jnp
+
+        chain.append(
+            optax.adafactor(
+                learning_rate=lr,
+                min_dim_size_to_factor=factor_min_dim,
+                multiply_by_parameter_scale=False,
+                momentum=beta1 if beta1 else None,
+                dtype_momentum=jnp.dtype(mu_dtype) if mu_dtype
+                else jnp.float32,
+                # NB: adafactor's decay_rate is the paper's step-dependent
+                # second-moment exponent (beta2_t = 1 - step^-d), NOT
+                # Adam's beta2 — keep the paper default 0.8
+                weight_decay_rate=weight_decay,
+                weight_decay_mask=decay_mask(params),
+                eps=adam_epsilon,
+            )
+        )
+    else:
+        raise NotImplementedError(optimizer)
     tx = optax.chain(*chain)
     if accumulation_steps > 1:
         # clip + update fire on accumulation boundaries only, matching

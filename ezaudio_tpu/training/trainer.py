@@ -169,6 +169,8 @@ class Trainer:
             warmup=opt_cfg.get("warmup", 5000),
             grad_clip=opt_cfg.get("grad_clip", 1.0),
             accumulation_steps=opt_cfg.get("accumulation_steps", 1),
+            optimizer=opt_cfg.get("optimizer", "adamw"),
+            mu_dtype=opt_cfg.get("mu_dtype"),
         )
         if mesh is not None:
             # shard params BEFORE building the optimizer state: optax init

@@ -100,6 +100,44 @@ class TestTrainStep:
                          p0, s2.params)
         assert max(jax.tree.leaves(d)) > 0.0
 
+    def test_bf16_moments_opt_in(self, setup, rng):
+        """mu_dtype='bfloat16' (the probe12 optimizer-bandwidth lever):
+        first moment stored bf16, loss still decreases."""
+        model, params, schedule = setup
+        tx = make_optimizer(params, learning_rate=2e-3, warmup=0,
+                            mu_dtype="bfloat16")
+        step = make_train_step(model, schedule, tx)
+        state = TrainState.create(_fresh(params), tx)
+        mus = [l for l in jax.tree.leaves(state.opt_state)
+               if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+        assert mus, "no bf16 moment buffers in the optimizer state"
+        for i in range(12):
+            state, m = step(state, make_batch(rng), jax.random.PRNGKey(i))
+        # params must remain f32 (only the moment is low-precision)
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree.leaves(state.params))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_adafactor_opt_in(self, setup, rng):
+        """optimizer='adafactor': factored second moment (less state than
+        AdamW), loss decreases on the same tiny problem."""
+        model, params, schedule = setup
+        tx_a = make_optimizer(params, learning_rate=2e-3, warmup=0)
+        tx_f = make_optimizer(params, learning_rate=2e-3, warmup=0,
+                              optimizer="adafactor", factor_min_dim=8)
+        sz = lambda tx: sum(  # noqa: E731
+            l.size for l in jax.tree.leaves(tx.init(params))
+            if hasattr(l, "size"))
+        assert sz(tx_f) < sz(tx_a)
+        step = make_train_step(model, schedule, tx_f)
+        state = TrainState.create(_fresh(params), tx_f)
+        losses = []
+        for i in range(12):
+            state, m = step(state, make_batch(rng), jax.random.PRNGKey(0))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
+        assert np.isfinite(losses).all()
+
 
 class TestDataParallel:
     def test_dp_step_matches_single_device(self, setup, rng):
