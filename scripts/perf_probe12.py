@@ -45,10 +45,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def build(remat: str):
+def build(remat: str, tx_fn=None):
     """Fresh model + train step for a remat policy ('off' disables
     use_checkpoint; otherwise EZAUDIO_REMAT picks the jax.checkpoint
-    policy at trace time)."""
+    policy at trace time).  tx_fn(params) overrides the optimizer."""
     import optax
 
     from ezaudio_tpu.config import get_model_config
@@ -71,7 +71,10 @@ def build(remat: str):
                       jnp.zeros((1, 8, D), jnp.bfloat16))["params"]
     n_params = sum(x.size for x in jax.tree.leaves(params))
     schedule = DDIMSchedule.from_config(cfg.diff.to_dict())
-    tx = optax.adamw(5e-5, b1=0.9, b2=0.95, weight_decay=0.01)
+    if tx_fn is not None:
+        tx = tx_fn(params)
+    else:
+        tx = optax.adamw(5e-5, b1=0.9, b2=0.95, weight_decay=0.01)
     step = make_train_step(dit, schedule, tx, snr_gamma=5.0)
     state = TrainState.create(params, tx)
     return step, state, n_params, (L, C, D)
@@ -119,6 +122,58 @@ def section_ab():
                   f"({B*10.0/t:.0f} audio-s trained/s, "
                   f"{useful_tflops/t:.1f} useful TFLOP/s = {mfu:.0f}% MFU)",
                   flush=True)
+        del step, state
+        import gc
+
+        gc.collect()
+
+
+def section_optim():
+    """A/B the optimizer-bandwidth levers at XL, same session: AdamW-f32
+    (baseline) vs mu_dtype=bf16 vs Adafactor — all through
+    make_optimizer so only the lever differs (incl. global-norm clip)."""
+    from ezaudio_tpu.training.optim import make_optimizer
+
+    B = int(os.environ.get("PROBE12_OPTIM_BATCH", "8"))
+    variants = [
+        ("adamw-f32", dict()),
+        ("adamw-mu_bf16", dict(mu_dtype="bfloat16")),
+        ("adafactor", dict(optimizer="adafactor")),
+    ]
+    key = jax.random.PRNGKey(1)
+    for name, kw in variants:
+        def tx_fn(params, kw=kw):
+            return make_optimizer(params, learning_rate=5e-5, beta1=0.9,
+                                  beta2=0.95, weight_decay=0.01,
+                                  warmup=0, **kw)
+        step, state, n_params, (L, C, D) = build("off", tx_fn)
+        opt_bytes = sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree.leaves(state.opt_state)
+            if hasattr(x, "dtype"))
+        batch = make_batch(key, B, L, C, D)
+        try:
+            def run():
+                nonlocal state
+                state, m = step(state, batch, key)
+                np.asarray(m["loss"])
+            run()  # compile + warm
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                run()
+                ts.append(time.perf_counter() - t0)
+            t = float(np.median(ts))
+        except Exception as e:  # noqa: BLE001 — OOM is a result here
+            print(f"[optim={name}] B={B}: FAILED ({type(e).__name__})",
+                  flush=True)
+            continue
+        tok = B * L
+        useful_tflops = 3 * 2 * n_params * tok / 1e12
+        mfu = useful_tflops / t / V5E_BF16_PEAK_TFLOPS * 100
+        print(f"[optim={name}] B={B}: {t*1e3:.0f} ms/step "
+              f"({useful_tflops/t:.1f} useful TFLOP/s = {mfu:.0f}% MFU), "
+              f"opt state {opt_bytes/1e9:.2f} GB", flush=True)
         del step, state
         import gc
 
@@ -201,7 +256,8 @@ def section_profile():
         print(f"  {ns/total*100:5.1f}%  {nm[:90]}")
 
 
-SECTIONS = {"ab": section_ab, "profile": section_profile}
+SECTIONS = {"ab": section_ab, "profile": section_profile,
+            "optim": section_optim}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["ab"]
