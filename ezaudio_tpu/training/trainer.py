@@ -176,9 +176,17 @@ class Trainer:
             # shard params BEFORE building the optimizer state: optax init
             # uses zeros_like, so the optimizer state inherits the same
             # NamedShardings (ZeRO-style over fsdp)
-            from ezaudio_tpu.parallel.mesh import shard_params
+            # DiT-aware rules, not the generic largest-axis fsdp rule: the
+            # time-conditioning / adaln params must stay replicated or the
+            # SPMD partitioner involuntarily rematerializes their grads
+            # every step (see _tp_spec_for_path)
+            from ezaudio_tpu.parallel.mesh import dit_param_shardings
 
-            params = shard_params(mesh, params)
+            # NB: device_put may alias (not copy) buffers it doesn't move,
+            # and the train step donates its state — callers must not
+            # reuse the `params` tree they passed in after this
+            params = jax.tree.map(jax.device_put, params,
+                                  dit_param_shardings(mesh, params))
         state = TrainState.create(params, tx)
         step_fn = make_train_step(
             model, schedule, tx, scale=scale, shift=shift,

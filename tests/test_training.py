@@ -157,7 +157,10 @@ class TestDataParallel:
         state = TrainState.create(_fresh(params), tx)
         s_ref, m_ref = step(state, batch, key)
 
-        state_sh = TrainState.create(replicate(mesh, params), tx)
+        # replicate() may ALIAS the source buffers (device_put on the same
+        # device skips the copy), so the donating step would invalidate
+        # the module-scoped fixture params — replicate a fresh copy
+        state_sh = TrainState.create(replicate(mesh, _fresh(params)), tx)
         batch_sh = shard_batch(mesh, batch)
         s_dp, m_dp = step(state_sh, batch_sh, key)
 
@@ -175,6 +178,32 @@ class TestDataParallel:
         specs = [s.spec for s in jax.tree.leaves(sh)]
         # at least the big kernels get sharded over fsdp
         assert any("fsdp" in str(s) for s in specs)
+
+    def test_trainer_uses_dit_aware_shardings(self, setup):
+        """Trainer.create must shard with the DiT-aware rules: adaln /
+        time-conditioning params replicated (the generic largest-axis
+        rule shards them, and the SPMD partitioner then involuntarily
+        rematerializes their grads every step)."""
+        from ezaudio_tpu.parallel.mesh import make_mesh
+        from ezaudio_tpu.training.trainer import Trainer
+
+        model, params, schedule = setup
+        mesh = make_mesh(dp=2, fsdp=4)
+        tr = Trainer.create(model, schedule, _fresh(params),
+                            {"learning_rate": 1e-3, "warmup": 0}, mesh=mesh)
+        flat = jax.tree_util.tree_flatten_with_path(tr.state.params)[0]
+        checked = sharded = 0
+        for path, leaf in flat:
+            names = [getattr(p, "key", str(p)) for p in path]
+            spec = leaf.sharding.spec
+            if any(n in ("adaln", "time_ada", "time_ada_final",
+                         "time_embed", "final_block") for n in names):
+                assert all(a is None for a in spec), (names, spec)
+                checked += 1
+            if any(a is not None for a in spec):
+                sharded += 1
+        assert checked > 0     # the replication rule actually fired
+        assert sharded > 0     # and the big kernels still shard
 
 
 class TestFifthReviewBatch:
