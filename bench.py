@@ -4,9 +4,10 @@ Measures the full s3_xl text-to-audio path twice in one session: at the
 reference's default sampling cost (100 DDIM steps x 2 CFG forwards,
 guidance 5.0, rescale 0.75 — reference api/ezaudio.py:101-103, reported
 under "reference_default_recipe") and at the fastest quality-validated
-recipe (DPM-Solver++(2M)-25 + DiT layer_cache(2,2) — FAD-validated on a
-TPU-trained model, BASELINE.md "Sampler quality" table; reported as the
-headline value).  Random weights (throughput is weight-independent), bf16
+recipe (DPM-Solver++(2M)-25 + DiT layer_cache(2,2) + chunked-bf16
+attention + int8 W8A8 linears — the composition FAD-validated on a
+TPU-trained mid-scale model, BASELINE.md mid-scale table; reported as
+the headline value).  Random weights (throughput is weight-independent), bf16
 compute, on the available accelerator.
 
 Prints ONE JSON line:
@@ -114,29 +115,22 @@ def main():
 
     # 2) the fastest QUALITY-VALIDATED recipe (BASELINE.md sampler-quality
     #    tables, toy AND mid-scale: DPM-25 FAD within 4-9% of DDIM-100,
-    #    layer_cache m=2 within 1-12%, chunked_bf16 attention FAD-neutral
-    #    at mid scale and ~9% faster at every batch, composed recipe
-    #    validated on the same trained models) — skipped when the env
-    #    already pins a non-default recipe.
+    #    layer_cache m=2 within 1-12%, chunked_bf16 attention and int8
+    #    W8A8 linears FAD-neutral at mid scale — the full composition is
+    #    validated as a composition, quality_validate_mid "max recipe"
+    #    row; int8 is +4.5% same-session at batch 4) — skipped when the
+    #    env already pins a non-default recipe.
     default_recipe = (ddim_steps == 100 and sampler == "ddim"
                       and quant is None and layer_cache is None)
     t_fast = (measure(ddim_steps=25, sampler="dpm", layer_cache=(2, 2),
-                      attn_impl="chunked_bf16")
+                      attn_impl="chunked_bf16", quant="int8")
               if default_recipe else t_ref)
-
-    # optional third measurement (BENCH_MAX_RECIPE=1): the max recipe
-    # composes int8 W8A8 linears on top — FAD-neutral at mid scale
-    # (quality_validate_mid "max recipe" row), reported for the A/B but
-    # not the headline unless it wins
-    t_max = None
-    if default_recipe and os.environ.get("BENCH_MAX_RECIPE") == "1":
-        t_max = measure(ddim_steps=25, sampler="dpm", layer_cache=(2, 2),
-                        attn_impl="chunked_bf16", quant="int8")
 
     value = audio_sec / t_fast / n_chips
     result = {
         "metric": (f"{model_name} t2a throughput, quality-validated fast "
-                   f"recipe (DPM-25 + layer_cache(2,2) + chunked_bf16 attn, batch {batch})"
+                   f"recipe (DPM-25 + layer_cache(2,2) + chunked_bf16 attn "
+                   f"+ int8, batch {batch})"
                    if default_recipe else ref_default["metric"]),
         "value": round(value, 3),
         "unit": "audio-sec/sec/chip",
@@ -145,12 +139,6 @@ def main():
         "chips": n_chips,
         "reference_default_recipe": ref_default,
     }
-    if t_max is not None:
-        result["max_recipe_int8"] = {
-            "value": round(audio_sec / t_max / n_chips, 3),
-            "unit": "audio-sec/sec/chip",
-            "p50_latency_s_per_10s_clip": round(t_max, 3),
-        }
     print(json.dumps(result))
 
 
