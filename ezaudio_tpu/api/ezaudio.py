@@ -207,6 +207,7 @@ class EzAudio:
         self._uncond_embedding = functools.lru_cache(maxsize=8)(
             self._uncond_embedding_impl)
         self._sampler = functools.lru_cache(maxsize=32)(self._sampler_impl)
+        self._fused = functools.lru_cache(maxsize=32)(self._fused_impl)
 
     # ------------------------------------------------------------------
     @property
@@ -244,15 +245,16 @@ class EzAudio:
         return emb, mask
 
     # ------------------------------------------------------------------
-    def _sampler_impl(self, steps: int, guidance_scale, guidance_rescale, eta,
-                 use_gt: bool, guidance_interval=None, sampler: str = "ddim",
-                 quant: Optional[str] = None, layer_cache=None,
-                 attn_impl: Optional[str] = None):
-        """Compile (and cache) the full denoising program for a signature."""
+    def _denoise_body(self, steps: int, guidance_scale, guidance_rescale,
+                      eta, use_gt: bool, guidance_interval=None,
+                      sampler: str = "ddim", layer_cache=None):
+        """Pure denoising program (no jit, no trace-time contexts):
+        (dit_params, noise, ctx, cmask, gt, gt_mask, key) -> latents.
+        Shared by the standalone sampler jit and the fused
+        text->waveform program."""
         schedule = self.noise_scheduler
         dit = self.dit
 
-        @jax.jit
         def _run(dit_params, noise, ctx, cmask, gt, gt_mask, key):
             # ctx/cmask are the CFG-ordered batch [cond; uncond] (or just
             # cond when guidance is off).  With a guidance interval, non-CFG
@@ -314,6 +316,17 @@ class EzAudio:
                 guidance_rescale=guidance_rescale, eta=eta,
                 guidance_interval=guidance_interval)
 
+        return _run
+
+    def _sampler_impl(self, steps: int, guidance_scale, guidance_rescale, eta,
+                 use_gt: bool, guidance_interval=None, sampler: str = "ddim",
+                 quant: Optional[str] = None, layer_cache=None,
+                 attn_impl: Optional[str] = None):
+        """Compile (and cache) the full denoising program for a signature."""
+        _run = jax.jit(self._denoise_body(
+            steps, guidance_scale, guidance_rescale, eta, use_gt,
+            guidance_interval, sampler, layer_cache))
+
         def run(*args):
             # quant_context / attention_impl_context are trace-time state:
             # the first call traces the program inside them (Linear layers
@@ -327,6 +340,135 @@ class EzAudio:
                 return _run(*args)
 
         return run
+
+    # ------------------------------------------------------------------
+    def _fused_impl(self, steps: int, guidance_scale, guidance_rescale, eta,
+                    guidance_interval, sampler: str,
+                    quant: Optional[str], layer_cache,
+                    attn_impl: Optional[str],
+                    B: int, Bp: int, frames: int, draw_noise: bool,
+                    cfg: bool, chunk: int):
+        """Compile (and cache) the SINGLE-DISPATCH text->waveform program.
+
+        One jit covers T5 encode -> CFG concat -> (optional in-graph
+        noise draw) -> the full sampler scan -> latent re-scale -> chunked
+        VAE decode.  The eager path pays one device dispatch per stage
+        (~70 ms each through the axon tunnel — CLAUDE.md), which at the
+        fast recipe is a double-digit share of end-to-end latency; fusing
+        also hands XLA the whole pipeline to schedule (reference hot path
+        api/ezaudio.py:101-130).  Sample-level math is IDENTICAL to the
+        eager path: same key split, same draw dtype, same ops in the same
+        order (equality-tested in tests/test_api.py)."""
+        body = self._denoise_body(steps, guidance_scale, guidance_rescale,
+                                  eta, False, guidance_interval, sampler,
+                                  layer_cache)
+        t5 = self.t5
+        vae_model = self.autoencoder.model
+        dtype = self.dtype
+        latent_dim = self.latent_dim
+        scale, shift = self.scale, self.shift
+
+        def _decode(vae_params, z):
+            return vae_model.apply({"params": vae_params}, z,
+                                   method=lambda m, z: m.decoder(z))
+
+        def _core(dit_params, t5_params, vae_params, ids, mask,
+                  un_emb, un_mask, noise, seed):
+            cond = t5.apply({"params": t5_params}, ids, mask)
+            if cfg:
+                ctx = jnp.concatenate([cond, un_emb], axis=0)
+                cmask = jnp.concatenate([mask, un_mask], axis=0)
+            else:
+                ctx, cmask = cond, mask
+            key = jax.random.PRNGKey(seed)
+            k_noise, k_steps = jax.random.split(key)
+            if draw_noise:
+                # draw at the REQUEST batch B, then pad rows — a (prompt,
+                # seed) pair reproduces the single-chip draw regardless of
+                # dp padding (same contract as _generate_latents)
+                noise = jax.random.normal(k_noise, (B, frames, latent_dim),
+                                          dtype)
+            if Bp > B:
+                noise = jnp.concatenate(
+                    [noise, jnp.repeat(noise[-1:], Bp - B, axis=0)], axis=0)
+            gt = jnp.zeros((Bp, frames, latent_dim), dtype)
+            gt_mask = jnp.zeros((Bp, frames, 1), bool)
+            latents = body(dit_params, noise, ctx, cmask, gt, gt_mask,
+                           k_steps)
+            pred = scale_shift_re(latents, scale, shift)
+            if Bp <= chunk:
+                return _decode(vae_params, pred)
+            # bound decoder activation memory exactly like the eager
+            # chunked path: lax.map serializes one chunk at a time
+            pad = (-Bp) % chunk
+            if pad:
+                pred = jnp.concatenate(
+                    [pred, jnp.repeat(pred[-1:], pad, axis=0)], axis=0)
+            wav = jax.lax.map(lambda z: _decode(vae_params, z),
+                              pred.reshape((Bp + pad) // chunk, chunk,
+                                           *pred.shape[1:]))
+            return wav.reshape(Bp + pad, *wav.shape[2:])[:Bp]
+
+        _jitted = jax.jit(_core)
+
+        def run(*args):
+            # trace-time contexts, exactly as in _sampler_impl; only the
+            # DiT's ops.convs.Linear / models.blocks.Attention consult
+            # them, so the T5/VAE stages keep reference numerics
+            from ezaudio_tpu.models.blocks import attention_impl_context
+            from ezaudio_tpu.ops.quant import quant_context
+
+            with quant_context(quant), attention_impl_context(attn_impl):
+                return _jitted(*args)
+
+        return run
+
+    def _generate_fused(self, texts, frames, guidance_scale,
+                        guidance_rescale, ddim_steps, eta, random_seed,
+                        guidance_interval, sampler, initial_latents,
+                        quant, layer_cache, attn_impl):
+        """Host wrapper for the fused program: tokenize, pad to the dp
+        world, look up/compile the program, one dispatch, trim."""
+        B = len(texts)
+        if random_seed is None:
+            random_seed = np.random.randint(0, MAX_SEED)
+        world = self._world
+        pad_n = (-B) % world
+        texts_p = list(texts) + [texts[-1]] * pad_n
+        Bp = B + pad_n
+
+        ids, mask = self.tokenizer(texts_p, max_length=self.max_length)
+        ids = self._shard_rows(jnp.asarray(ids))
+        mask = self._shard_rows(jnp.asarray(mask))
+        cfg = bool(guidance_scale)
+        if cfg:
+            un_emb, un_mask = self._uncond_embedding(Bp)
+        else:
+            guidance_scale = None
+            un_emb = jnp.zeros((1, 1, 1), self.dtype)  # unused static arg
+            un_mask = jnp.zeros((1, 1), bool)
+
+        draw_noise = initial_latents is None
+        if draw_noise:
+            noise = jnp.zeros((1, 1, 1), self.dtype)  # unused static arg
+        else:
+            noise = jnp.asarray(initial_latents, self.dtype)
+            assert noise.shape == (B, frames, self.latent_dim), (
+                noise.shape, (B, frames, self.latent_dim))
+            noise = self._shard_rows(noise)
+
+        chunk = min(Bp, 4 * world)
+        run = self._fused(int(ddim_steps), guidance_scale,
+                          guidance_rescale, float(eta),
+                          tuple(guidance_interval) if guidance_interval
+                          else None,
+                          sampler, quant,
+                          tuple(layer_cache) if layer_cache else None,
+                          attn_impl, B, Bp, frames, draw_noise, cfg, chunk)
+        wav = run(self.dit_params, self.t5_params, self.autoencoder.params,
+                  ids, mask, un_emb, un_mask, noise,
+                  jnp.uint32(random_seed))
+        return np.asarray(wav)[:B, :, 0]
 
     # ------------------------------------------------------------------
     def _generate_latents(
@@ -409,8 +551,16 @@ class EzAudio:
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
+        fused: bool = True,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
+
+        ``fused`` (default): the whole pipeline — T5 encode, CFG concat,
+        noise draw, sampler scan, latent re-scale, chunked VAE decode —
+        runs as ONE compiled program with a single device dispatch and a
+        single host transfer.  Sample-level math is identical to the
+        staged path (``fused=False``), which remains for debugging and
+        for the editing/gt paths.
 
         ``attn_impl``: attention implementation override for this call —
         ``'chunked_bf16'`` is ~9% faster at every batch size (probe11)
@@ -451,6 +601,12 @@ class EzAudio:
             random_seed = np.random.randint(0, MAX_SEED)
 
         frames = int(length * self.latent_sr)
+        if fused:
+            wav = self._generate_fused(
+                texts, frames, guidance_scale, guidance_rescale, ddim_steps,
+                eta, random_seed, guidance_interval, sampler,
+                initial_latents, quant, layer_cache, attn_impl)
+            return self.sr, (wav if batched else wav[0])
         latents = self._generate_latents(
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
             random_seed, guidance_interval=guidance_interval, sampler=sampler,

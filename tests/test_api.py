@@ -308,3 +308,64 @@ class TestMeshAPI:
             for f in futs:
                 sr, w = f.result(timeout=300)
                 assert np.isfinite(w).all()
+
+    def test_fused_on_mesh_equals_single_device(self, ez, mesh_ez):
+        """The padded fused program (Bp=8 from 2 prompts) shards over dp
+        and reproduces the single-device fused output."""
+        _, wm = mesh_ez.generate_audio(["a", "b"], length=2, ddim_steps=3,
+                                       random_seed=2, fused=True)
+        _, ws = ez.generate_audio(["a", "b"], length=2, ddim_steps=3,
+                                  random_seed=2, fused=True)
+        np.testing.assert_allclose(wm, ws, atol=1e-5)
+
+
+class TestFusedPath:
+    """The single-dispatch fused program (T5 -> sampler -> VAE in one jit)
+    must be sample-exact vs the staged path for every recipe knob."""
+
+    RECIPES = [
+        dict(ddim_steps=4, random_seed=3),                       # ddim+CFG
+        dict(ddim_steps=4, random_seed=3, sampler="dpm",
+             layer_cache=(1, 2)),                                # fast recipe
+        dict(ddim_steps=3, random_seed=5, guidance_scale=None),  # CFG off
+        dict(ddim_steps=3, random_seed=5,
+             attn_impl="chunked_bf16"),                          # bf16 attn
+        dict(ddim_steps=3, random_seed=5,
+             guidance_interval=(100, 900)),                      # interval
+    ]
+
+    @pytest.mark.parametrize("kw", RECIPES,
+                             ids=[str(sorted(r)) for r in RECIPES])
+    def test_fused_equals_staged(self, ez, kw):
+        _, wf = ez.generate_audio(["rain", "a dog"], length=2, fused=True,
+                                  **kw)
+        _, wu = ez.generate_audio(["rain", "a dog"], length=2, fused=False,
+                                  **kw)
+        if "guidance_interval" in kw:
+            # the interval path's segment boundaries fuse differently
+            # inside one program — f32-ulp-level differences only
+            np.testing.assert_allclose(wf, wu, atol=2e-6)
+        else:
+            np.testing.assert_array_equal(wf, wu)
+
+    def test_fused_chunked_decode(self, ez):
+        """batch > decode chunk exercises the in-graph lax.map decode."""
+        texts = [f"p{i}" for i in range(6)]
+        _, wf = ez.generate_audio(texts, length=2, ddim_steps=3,
+                                  random_seed=2, fused=True)
+        _, wu = ez.generate_audio(texts, length=2, ddim_steps=3,
+                                  random_seed=2, fused=False)
+        np.testing.assert_array_equal(wf, wu)
+
+    def test_fused_initial_latents_and_int8(self, ez, monkeypatch):
+        import ezaudio_tpu.ops.quant as qm
+
+        rng = np.random.default_rng(0)
+        lat = rng.standard_normal(
+            (2, 2 * TINY_LATENT_SR, ez.latent_dim)).astype(np.float32)
+        kw = dict(length=2, ddim_steps=3, random_seed=1,
+                  initial_latents=lat)
+        monkeypatch.setattr(qm, "MIN_QUANT_ELEMENTS", 0)
+        _, wf = ez.generate_audio(["a", "b"], fused=True, quant="int8", **kw)
+        _, wu = ez.generate_audio(["a", "b"], fused=False, quant="int8", **kw)
+        np.testing.assert_array_equal(wf, wu)
