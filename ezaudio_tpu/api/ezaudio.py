@@ -551,16 +551,21 @@ class EzAudio:
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
-        fused: bool = True,
+        fused: bool = False,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
 
-        ``fused`` (default): the whole pipeline — T5 encode, CFG concat,
-        noise draw, sampler scan, latent re-scale, chunked VAE decode —
-        runs as ONE compiled program with a single device dispatch and a
-        single host transfer.  Sample-level math is identical to the
-        staged path (``fused=False``), which remains for debugging and
-        for the editing/gt paths.
+        ``fused=True``: the whole pipeline — T5 encode, CFG concat, noise
+        draw, sampler scan, latent re-scale, chunked VAE decode — runs as
+        ONE compiled program with a single device dispatch and a single
+        host transfer.  Sample-level math is identical to the staged
+        default (equality-tested).  Measured throughput is NEUTRAL
+        (±2%, BASELINE.md round-3: jax's async dispatch already pipelines
+        the staged stages), so the default stays staged — its T5/decode
+        sub-programs are shared across recipes and length buckets, which
+        is the better compile-cache economics; opt in when single-dispatch
+        semantics matter (host-constrained serving, RPC-per-dispatch
+        deployments).
 
         ``attn_impl``: attention implementation override for this call —
         ``'chunked_bf16'`` is ~9% faster at every batch size (probe11)
