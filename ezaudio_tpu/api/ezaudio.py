@@ -606,6 +606,14 @@ class EzAudio:
             random_seed = np.random.randint(0, MAX_SEED)
 
         frames = int(length * self.latent_sr)
+        # the fused program decodes with the raw decoder; a
+        # quantization_first=False facade samples the posterior before
+        # decoding (facade.decode), which the fused graph doesn't carry —
+        # fall back to the staged path there (EzAudio production configs
+        # are q_first=True)
+        if fused and not getattr(self.autoencoder, "quantization_first",
+                                 True):
+            fused = False
         if fused:
             wav = self._generate_fused(
                 texts, frames, guidance_scale, guidance_rescale, ddim_steps,

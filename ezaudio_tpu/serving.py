@@ -64,6 +64,7 @@ class GenerationServer:
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
+        fused: bool = False,  # single-dispatch pipeline (api fused=True)
         controlnet=None,  # EzAudioControlNet sharing this ez as its base
     ):
         self.ez = ez
@@ -90,7 +91,8 @@ class GenerationServer:
                                guidance_scale=guidance_scale,
                                guidance_rescale=guidance_rescale,
                                sampler=sampler, quant=quant,
-                               layer_cache=layer_cache, attn_impl=attn_impl)
+                               layer_cache=layer_cache, attn_impl=attn_impl,
+                               fused=fused)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -300,8 +302,9 @@ class GenerationServer:
         self.stats["batches"] += 1
         try:
             # server recipe knobs the ControlNet API accepts; per-request
-            # kwargs win (layer_cache/attn_impl are t2a-only knobs)
-            kw = {k: self.gen_kwargs[k] for k in ("quant", "sampler")
+            # kwargs win (layer_cache/attn_impl/fused are t2a-only knobs)
+            kw = {k: self.gen_kwargs[k]
+                  for k in ("quant", "sampler", "ddim_steps")
                   if self.gen_kwargs.get(k) is not None}
             kw.update(req.edit_kwargs)
             sr, wav = self.controlnet.generate_audio(

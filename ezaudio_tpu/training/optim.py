@@ -113,10 +113,18 @@ def make_optimizer(
                 else jnp.float32,
                 # NB: adafactor's decay_rate is the paper's step-dependent
                 # second-moment exponent (beta2_t = 1 - step^-d), NOT
-                # Adam's beta2 — keep the paper default 0.8
-                weight_decay_rate=weight_decay,
+                # Adam's beta2 — keep the paper default 0.8.  Its eps is
+                # the second-moment floor (paper default 1e-30), NOT
+                # Adam's epsilon — keep the optax default too.
+                #
+                # optax applies weight_decay_rate AFTER the lr scaling
+                # (a raw per-step shrink), so the AdamW-equivalent
+                # decoupled decay is lr*wd, approximated here with the
+                # BASE lr (during warmup the relative decay is slightly
+                # stronger than AdamW's; at full lr they match).
+                weight_decay_rate=(learning_rate * weight_decay
+                                   if weight_decay else None),
                 weight_decay_mask=decay_mask(params),
-                eps=adam_epsilon,
             )
         )
     else:

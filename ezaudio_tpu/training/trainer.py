@@ -171,6 +171,7 @@ class Trainer:
             accumulation_steps=opt_cfg.get("accumulation_steps", 1),
             optimizer=opt_cfg.get("optimizer", "adamw"),
             mu_dtype=opt_cfg.get("mu_dtype"),
+            factor_min_dim=opt_cfg.get("factor_min_dim", 128),
         )
         if mesh is not None:
             # shard params BEFORE building the optimizer state: optax init

@@ -62,8 +62,23 @@ def main():
     mixed = os.environ.get("SERVE_MIXED", "0") == "1"
     lengths = (5.0, 10.0) if mixed else (10.0,)
 
-    kw = (dict(ddim_steps=25, sampler="dpm", layer_cache=(2, 2))
+    kw = (dict(ddim_steps=25, sampler="dpm", layer_cache=(2, 2),
+               attn_impl="chunked_bf16", quant="int8")
           if recipe == "fast" else dict(ddim_steps=100))
+    # SERVE_FUSED=1: the single-dispatch pipeline (one program per
+    # batch x length bucket); SERVE_AB=1 runs staged THEN fused in one
+    # session (cross-session tunnel variance is ±25%, so only a
+    # same-session A/B is meaningful)
+    variants = ([False, True] if os.environ.get("SERVE_AB", "0") == "1"
+                else [os.environ.get("SERVE_FUSED", "0") == "1"])
+    for fused in variants:
+        kw["fused"] = fused
+        run_variant(ez, GenerationServer, kw, rates, window, max_batch,
+                    mixed, lengths, f"{recipe}{'/fused' if fused else ''}")
+
+
+def run_variant(ez, GenerationServer, kw, rates, window, max_batch,
+                mixed, lengths, recipe):
     server = GenerationServer(ez, max_batch_size=max_batch,
                               max_wait_ms=200.0, length=10.0,
                               length_buckets=lengths, **kw).start()
@@ -74,8 +89,13 @@ def main():
           f"({recipe} recipe)...", flush=True)
     for b in server.buckets:
         for L in lengths:
-            ez.generate_audio(PROMPTS[:b], random_seed=0, length=L,
-                              guidance_scale=5.0, guidance_rescale=0.75, **kw)
+            # the server dispatches with per-slot initial_latents — warm
+            # the same program variant (fused keys on draw-vs-provided)
+            lat = np.stack([server._slot_noise(i, L) for i in range(b)])
+            texts = [PROMPTS[i % len(PROMPTS)] for i in range(b)]
+            ez.generate_audio(texts, random_seed=0, length=L,
+                              guidance_scale=5.0, guidance_rescale=0.75,
+                              initial_latents=lat, **kw)
 
     rng = np.random.default_rng(0)
     for rps in rates:

@@ -366,6 +366,15 @@ class TestFusedPath:
         kw = dict(length=2, ddim_steps=3, random_seed=1,
                   initial_latents=lat)
         monkeypatch.setattr(qm, "MIN_QUANT_ELEMENTS", 0)
-        _, wf = ez.generate_audio(["a", "b"], fused=True, quant="int8", **kw)
-        _, wu = ez.generate_audio(["a", "b"], fused=False, quant="int8", **kw)
+        try:
+            _, wf = ez.generate_audio(["a", "b"], fused=True, quant="int8",
+                                      **kw)
+            _, wu = ez.generate_audio(["a", "b"], fused=False, quant="int8",
+                                      **kw)
+        finally:
+            # programs traced with the patched threshold must not leak
+            # into the module-scoped instance's jit caches (the lru keys
+            # don't include MIN_QUANT_ELEMENTS)
+            ez._fused.cache_clear()
+            ez._sampler.cache_clear()
         np.testing.assert_array_equal(wf, wu)
