@@ -126,6 +126,15 @@ def main():
                       attn_impl="chunked_bf16", quant="int8")
               if default_recipe else t_ref)
 
+    # optional (BENCH_DISTILLED=1): the 4-call distilled-student recipe —
+    # throughput is weight-independent so random weights measure it
+    # honestly, but serving it for real REQUIRES a progressively-distilled
+    # checkpoint (training/distill pipeline; quality row: mid-scale table,
+    # distilled-4 FAD 30.9 ~= the max recipe's 30.1)
+    t_dist = None
+    if default_recipe and os.environ.get("BENCH_DISTILLED") == "1":
+        t_dist = measure(ddim_steps=4, sampler="distilled")
+
     value = audio_sec / t_fast / n_chips
     result = {
         "metric": (f"{model_name} t2a throughput, quality-validated fast "
@@ -139,6 +148,13 @@ def main():
         "chips": n_chips,
         "reference_default_recipe": ref_default,
     }
+    if t_dist is not None:
+        result["distilled_4call_recipe"] = {
+            "value": round(audio_sec / t_dist / n_chips, 3),
+            "unit": "audio-sec/sec/chip",
+            "p50_latency_s_per_10s_clip": round(t_dist, 3),
+            "note": "requires a progressively-distilled student ckpt",
+        }
     print(json.dumps(result))
 
 

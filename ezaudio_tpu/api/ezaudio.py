@@ -310,6 +310,18 @@ class EzAudio:
                     model_fn, schedule, noise, steps,
                     guidance_scale=guidance_scale,
                     guidance_rescale=guidance_rescale)
+            if sampler == "distilled":
+                # serving path for progressively-distilled students
+                # (diffusion/distill.py): DDIM on the student's grid, no
+                # CFG pair — guidance was folded into the student during
+                # distillation.  The loaded checkpoint must BE a student
+                # (the architecture is unchanged, so EzAudio loads it
+                # like any DiT checkpoint).
+                from ezaudio_tpu.diffusion.distill import (
+                    distill_tables, distilled_sample)
+
+                tables = distill_tables(schedule, steps)
+                return distilled_sample(model_fn, schedule, noise, tables)
             return sample_latents(
                 model_fn, schedule, noise, key, steps,
                 guidance_scale=guidance_scale,
@@ -604,6 +616,14 @@ class EzAudio:
             guidance_scale = None
         if randomize_seed:
             random_seed = np.random.randint(0, MAX_SEED)
+        if sampler == "distilled":
+            # guidance is folded into a distilled student; a CFG pair
+            # would double compute for no effect (and the layer-cache /
+            # interval schedules are defined on the full-grid samplers)
+            guidance_scale = None
+            assert layer_cache is None and guidance_interval is None, (
+                "sampler='distilled' does not compose with layer_cache or "
+                "guidance_interval")
 
         frames = int(length * self.latent_sr)
         # the fused program decodes with the raw decoder; a

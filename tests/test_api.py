@@ -357,6 +357,22 @@ class TestFusedPath:
                                   random_seed=2, fused=False)
         np.testing.assert_array_equal(wf, wu)
 
+    def test_distilled_sampler_served(self, ez):
+        """sampler='distilled' (serving path for progressively-distilled
+        students): no CFG pair, student-grid DDIM, fused == staged."""
+        kw = dict(length=2, ddim_steps=4, sampler="distilled", random_seed=3)
+        _, w = ez.generate_audio(["rain", "a dog"], **kw)
+        assert w.shape == (2, 2 * TINY_SR) and np.isfinite(w).all()
+        _, wf = ez.generate_audio(["rain", "a dog"], fused=True, **kw)
+        np.testing.assert_array_equal(wf, w)
+        # distinct grid / no CFG: not the ddim output
+        _, wd = ez.generate_audio(["rain", "a dog"], length=2, ddim_steps=4,
+                                  random_seed=3)
+        assert np.abs(wd - w).max() > 1e-6
+        with pytest.raises(AssertionError, match="distilled"):
+            ez.generate_audio("x", length=2, ddim_steps=4,
+                              sampler="distilled", layer_cache=(1, 2))
+
     def test_fused_initial_latents_and_int8(self, ez, monkeypatch):
         import ezaudio_tpu.ops.quant as qm
 
