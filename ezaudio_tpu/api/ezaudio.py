@@ -280,9 +280,8 @@ class EzAudio:
                 # training-free DiT layer caching (udit.py deep_cache):
                 # full-depth every `interval`-th step, shallow re-compute
                 # otherwise; composes with DDIM and DPM-Solver (fewer
-                # steps x cheaper steps)
-                assert guidance_interval is None, (
-                    "layer_cache does not compose with guidance_interval")
+                # steps x cheaper steps) AND with guidance_interval (the
+                # CFG band rounds outward to cache-group boundaries)
                 k, interval = layer_cache
                 model_full = lambda lat, t: _apply(  # noqa: E731
                     lat, t, collect_deep_k=int(k))
@@ -296,12 +295,14 @@ class EzAudio:
                         guidance_scale=guidance_scale,
                         guidance_rescale=guidance_rescale,
                         layer_cache_fns=(model_full, model_cached),
-                        cache_interval=int(interval))
+                        cache_interval=int(interval),
+                        guidance_interval=guidance_interval)
                 return sample_latents_layer_cached(
                     model_full, model_cached, schedule, noise, key, steps,
                     cache_interval=int(interval),
                     guidance_scale=guidance_scale,
-                    guidance_rescale=guidance_rescale, eta=eta)
+                    guidance_rescale=guidance_rescale, eta=eta,
+                    guidance_interval=guidance_interval)
 
             if sampler == "dpm":
                 from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
@@ -309,7 +310,8 @@ class EzAudio:
                 return dpm_solver_sample(
                     model_fn, schedule, noise, steps,
                     guidance_scale=guidance_scale,
-                    guidance_rescale=guidance_rescale)
+                    guidance_rescale=guidance_rescale,
+                    guidance_interval=guidance_interval)
             if sampler == "distilled":
                 # serving path for progressively-distilled students
                 # (diffusion/distill.py): DDIM on the student's grid, no
@@ -605,6 +607,8 @@ class EzAudio:
         ``guidance_interval=(t_lo, t_hi)``: training-free speedup — run the
         CFG pair only for timesteps inside the band (arXiv 2404.07724);
         outside it, the conditional model alone runs at half the compute.
+        Composes with both samplers AND with ``layer_cache`` (there the
+        band rounds outward to cache-group boundaries).
         """
         batched = not isinstance(text, str)
         texts = list(text) if batched else [text]

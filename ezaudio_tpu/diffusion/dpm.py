@@ -70,6 +70,7 @@ def dpm_solver_sample(
     guidance_rescale: float = 0.0,
     layer_cache_fns: Optional[tuple] = None,
     cache_interval: int = 1,
+    guidance_interval: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Deterministic DPM-Solver++(2M) sampling (the eta=0 regime).
 
@@ -81,6 +82,16 @@ def dpm_solver_sample(
     the others ``model_cached(x, t, deep) -> out`` — same contract as
     :func:`ezaudio_tpu.diffusion.sampling.sample_latents_layer_cached`,
     same group-unrolled scan so the cache never enters the carry.
+
+    ``guidance_interval=(t_lo, t_hi)`` applies CFG only while the timestep
+    is inside the band (arXiv 2404.07724) — out-of-band steps run a single
+    (cond-only) model call, halving their cost.  The trajectory is split
+    into contiguous same-CFG segments, each its own `lax.scan` over the
+    SAME carry, so the 2M multistep history crosses segment boundaries
+    intact.  With layer caching the band rounds OUTWARD to cache-group
+    boundaries (a group mixes full+cached calls whose batch sizes must
+    agree; rounding applies CFG to at most ``cache_interval - 1`` extra
+    steps per band edge).  Ignored when ``guidance_scale`` is None.
     """
     from ezaudio_tpu.diffusion.sampling import rescale_noise_cfg
 
@@ -91,14 +102,20 @@ def dpm_solver_sample(
     coeff = jnp.asarray(coeff)
     inv2r = jnp.asarray(inv2r)
 
+    cfg_on = guidance_scale is not None
+    if cfg_on and guidance_interval is not None:
+        t_lo, t_hi = guidance_interval
+        in_band = (ts_np >= t_lo) & (ts_np <= t_hi)
+    else:
+        in_band = np.full(num_steps, cfg_on, dtype=bool)
+
     use_cache = layer_cache_fns is not None and cache_interval > 1
     if use_cache:
         model_full, model_cached = layer_cache_fns
 
-    def predict_x0(x, i, deep=None):
+    def predict_x0(x, i, deep=None, use_cfg=cfg_on):
         t = ts[i]
-        batch = (jnp.concatenate([x, x], axis=0)
-                 if guidance_scale is not None else x)
+        batch = jnp.concatenate([x, x], axis=0) if use_cfg else x
         if use_cache:
             if deep is None:
                 out, new_deep = model_full(batch, t)
@@ -106,7 +123,7 @@ def dpm_solver_sample(
                 out, new_deep = model_cached(batch, t, deep), deep
         else:
             out, new_deep = model_fn(batch, t), None
-        if guidance_scale is not None:
+        if use_cfg:
             cond, uncond = jnp.split(out, 2, axis=0)
             pred = uncond + guidance_scale * (cond - uncond)
             if guidance_rescale > 0.0:
@@ -126,29 +143,51 @@ def dpm_solver_sample(
         return (x_next.astype(x.dtype), x0.astype(x.dtype), jnp.float32(1.0))
 
     if not use_cache:
-        def body(carry, i):
-            x0, _ = predict_x0(carry[0], i)
-            return update(carry, i, x0), None
+        def body_for(use_cfg: bool):
+            def body(carry, i):
+                x0, _ = predict_x0(carry[0], i, None, use_cfg)
+                return update(carry, i, x0), None
+            return body
 
-        init = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
-        (x, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
-        return x
+        carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
+        start = 0
+        while start < num_steps:
+            end = start
+            while end < num_steps and in_band[end] == in_band[start]:
+                end += 1
+            carry, _ = jax.lax.scan(
+                body_for(bool(in_band[start])), carry,
+                jnp.arange(start, end))
+            start = end
+        return carry[0]
 
     groups = num_steps // cache_interval
+    # group-level CFG flag: any in-band step turns the whole group on
+    # (outward rounding — see docstring)
+    g_band = np.array([in_band[g * cache_interval:(g + 1) * cache_interval]
+                       .any() for g in range(groups)], dtype=bool)
 
-    def group_body(carry, g):
-        i0 = g * cache_interval
-        x0, deep = predict_x0(carry[0], i0, None)
-        carry = update(carry, i0, x0)
-        for j in range(1, cache_interval):
-            x0, _ = predict_x0(carry[0], i0 + j, deep)
-            carry = update(carry, i0 + j, x0)
-        return carry, None
+    def group_body_for(use_cfg: bool):
+        def group_body(carry, g):
+            i0 = g * cache_interval
+            x0, deep = predict_x0(carry[0], i0, None, use_cfg)
+            carry = update(carry, i0, x0)
+            for j in range(1, cache_interval):
+                x0, _ = predict_x0(carry[0], i0 + j, deep, use_cfg)
+                carry = update(carry, i0 + j, x0)
+            return carry, None
+        return group_body
 
     carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
-    if groups > 0:
-        carry, _ = jax.lax.scan(group_body, carry, jnp.arange(groups))
+    g0 = 0
+    while g0 < groups:
+        g1 = g0
+        while g1 < groups and g_band[g1] == g_band[g0]:
+            g1 += 1
+        carry, _ = jax.lax.scan(
+            group_body_for(bool(g_band[g0])), carry, jnp.arange(g0, g1))
+        g0 = g1
     for i in range(groups * cache_interval, num_steps):
-        x0, _ = predict_x0(carry[0], i, None)
+        x0, _ = predict_x0(carry[0], i, None, bool(in_band[i]))
         carry = update(carry, i, x0)
     return carry[0]

@@ -137,6 +137,7 @@ def sample_latents_layer_cached(
     guidance_scale: Optional[float] = None,
     guidance_rescale: float = 0.0,
     eta: float = 1.0,
+    guidance_interval: Optional[Tuple[float, float]] = None,
 ) -> jnp.ndarray:
     """DDIM loop with cross-step DiT layer caching (training-free
     acceleration: deep U-stack features drift slowly between adjacent
@@ -149,6 +150,12 @@ def sample_latents_layer_cached(
     receive the CFG pair batch when ``guidance_scale`` is set, exactly like
     :func:`sample_latents`.
 
+    ``guidance_interval`` composes like in :func:`sample_latents` but the
+    CFG band rounds OUTWARD to cache-group boundaries (full + cached calls
+    within one group must share a batch size, since the deep cache is
+    collected at the group head) — at most ``cache_interval - 1`` extra
+    CFG steps per band edge.
+
     TPU design: the scan runs over step *groups*; each group body unrolls
     one full step plus ``cache_interval - 1`` cached steps, so the deep
     cache is a scan-local value (never a carry) and the whole loop is one
@@ -160,9 +167,14 @@ def sample_latents_layer_cached(
     a_t = jnp.asarray(a_t_np)
     a_prev = jnp.asarray(a_prev_np)
     ts = jnp.asarray(ts_np)
-    use_cfg = guidance_scale is not None
+    cfg_on = guidance_scale is not None
+    if cfg_on and guidance_interval is not None:
+        t_lo, t_hi = guidance_interval
+        in_band = (ts_np >= t_lo) & (ts_np <= t_hi)
+    else:
+        in_band = np.full(num_steps, cfg_on, dtype=bool)
 
-    def predict(latents, t, deep):
+    def predict(latents, t, deep, use_cfg=cfg_on):
         """One model call (+CFG); deep=None -> full call, returns new deep."""
         batch = jnp.concatenate([latents, latents], axis=0) if use_cfg else latents
         if deep is None:
@@ -188,21 +200,32 @@ def sample_latents_layer_cached(
         return new.astype(latents.dtype)
 
     groups = num_steps // cache_interval
+    # group-level CFG flag: any in-band step turns the whole group on
+    g_band = np.array([in_band[g * cache_interval:(g + 1) * cache_interval]
+                       .any() for g in range(groups)], dtype=bool)
 
-    def group_body(latents, g):
-        i0 = g * cache_interval
-        pred, deep = predict(latents, ts[i0], None)
-        latents = ddim_update(latents, pred, i0)
-        for j in range(1, cache_interval):
-            pred, _ = predict(latents, ts[i0 + j], deep)
-            latents = ddim_update(latents, pred, i0 + j)
-        return latents, None
+    def group_body_for(use_cfg: bool):
+        def group_body(latents, g):
+            i0 = g * cache_interval
+            pred, deep = predict(latents, ts[i0], None, use_cfg)
+            latents = ddim_update(latents, pred, i0)
+            for j in range(1, cache_interval):
+                pred, _ = predict(latents, ts[i0 + j], deep, use_cfg)
+                latents = ddim_update(latents, pred, i0 + j)
+            return latents, None
+        return group_body
 
     latents = noise
-    if groups > 0:
-        latents, _ = jax.lax.scan(group_body, latents, jnp.arange(groups))
+    g0 = 0
+    while g0 < groups:
+        g1 = g0
+        while g1 < groups and g_band[g1] == g_band[g0]:
+            g1 += 1
+        latents, _ = jax.lax.scan(
+            group_body_for(bool(g_band[g0])), latents, jnp.arange(g0, g1))
+        g0 = g1
     # remainder steps (num_steps not divisible by the interval): full calls
     for i in range(groups * cache_interval, num_steps):
-        pred, _ = predict(latents, ts[i], None)
+        pred, _ = predict(latents, ts[i], None, bool(in_band[i]))
         latents = ddim_update(latents, pred, i)
     return latents

@@ -355,7 +355,7 @@ def main():  # noqa: C901 — linear experiment script
                 guidance_interval=interval)
         return builder
 
-    def dpm(steps, layer_cache=None):
+    def dpm(steps, layer_cache=None, interval=None):
         def builder(params, noise_c, ctx_pair):
             kw = {}
             if layer_cache is not None:
@@ -368,7 +368,8 @@ def main():  # noqa: C901 — linear experiment script
                     cache_interval=m)
             return dpm_solver_sample(
                 lambda lat, t: apply_base(params, lat, t, ctx_pair)[0],
-                schedule, noise_c, steps, guidance_scale=GUIDANCE, **kw)
+                schedule, noise_c, steps, guidance_scale=GUIDANCE,
+                guidance_interval=interval, **kw)
         return builder
 
     def ddim_lc(steps, k, m):
@@ -413,6 +414,17 @@ def main():  # noqa: C901 — linear experiment script
              dpm(25, (k_lc, 2)), {"attn_impl": "chunked_bf16"}),
             (f"DPM-25 + lc({k_lc},2) + chunked_bf16 + int8 (max recipe)",
              dpm(25, (k_lc, 2)),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
+            # guidance_interval composed into the fast recipe (round-3
+            # dpm/lc gi support; band rounds outward to cache groups):
+            # CFG only in-band halves the out-of-band model-call cost
+            ("DPM-25 + interval(300,800)",
+             dpm(25, interval=(300, 800)), {}),
+            (f"DPM-25 + lc({k_lc},2) + interval(300,800)",
+             dpm(25, (k_lc, 2), interval=(300, 800)), {}),
+            (f"DPM-25 + lc({k_lc},2) + gi(300,800) + chunked_bf16 + int8"
+             " (max+gi recipe)",
+             dpm(25, (k_lc, 2), interval=(300, 800)),
              {"quant_int8": True, "attn_impl": "chunked_bf16"}),
         ]
 

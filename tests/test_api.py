@@ -121,6 +121,41 @@ class TestGuidanceInterval:
         assert w_band.shape == w_plain.shape
         assert np.isfinite(w_band).all()
 
+    def test_composes_with_dpm_and_layer_cache(self, ez):
+        """The fast-recipe composition: DPM + layer_cache + a CFG band.
+        The band must actually engage (dpm used to silently drop it).
+        The fresh tiny model is CFG-insensitive (zero-init AdaLN heads ->
+        cond == uncond), so perturb the DiT params for the difference
+        assertions and restore them afterwards."""
+        import jax
+
+        orig = ez.dit_params
+        leaves, treedef = jax.tree.flatten(orig)
+        keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+        ez.dit_params = jax.tree.unflatten(treedef, [
+            l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)])
+        try:
+            kw = dict(length=2, ddim_steps=8, random_seed=3, sampler="dpm",
+                      layer_cache=(1, 2))
+            _, w_plain = ez.generate_audio("rain", **kw)
+            _, w_band = ez.generate_audio(
+                "rain", guidance_interval=(300, 800), **kw)
+            assert np.isfinite(w_band).all()
+            assert np.abs(w_band - w_plain).max() > 1e-6
+            # full band == no band, and plain dpm engages the interval too
+            _, w_full = ez.generate_audio(
+                "rain", guidance_interval=(0, 1000), **kw)
+            np.testing.assert_allclose(w_full, w_plain, atol=1e-5)
+            _, d_plain = ez.generate_audio("rain", length=2, ddim_steps=8,
+                                           random_seed=3, sampler="dpm")
+            _, d_band = ez.generate_audio("rain", length=2, ddim_steps=8,
+                                          random_seed=3, sampler="dpm",
+                                          guidance_interval=(300, 800))
+            assert np.abs(d_band - d_plain).max() > 1e-6
+        finally:
+            ez.dit_params = orig
+
 
 class TestLengthExtension:
     """RoPE 'shared' makes the DiT length-extensible (rotary.py caching in
@@ -332,6 +367,9 @@ class TestFusedPath:
              attn_impl="chunked_bf16"),                          # bf16 attn
         dict(ddim_steps=3, random_seed=5,
              guidance_interval=(100, 900)),                      # interval
+        dict(ddim_steps=8, random_seed=5, sampler="dpm",
+             layer_cache=(1, 2),
+             guidance_interval=(300, 800)),        # fast recipe + interval
     ]
 
     @pytest.mark.parametrize("kw", RECIPES,

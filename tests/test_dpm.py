@@ -63,3 +63,56 @@ class TestDPMSolver:
         out = dpm_solver_sample(fn, SCHED, noise, 8, guidance_scale=3.0,
                                 guidance_rescale=0.5)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def cfg_aware_model(x, t):
+    """Cond model = 0.7x; uncond = 0.5x when the CFG pair batch arrives
+    (batch 4 = pair of 2), cond-only on the single batch (batch 2)."""
+    if x.shape[0] == 4:
+        return jnp.concatenate([0.7 * x[:2], 0.5 * x[2:]], axis=0)
+    return 0.7 * x
+
+
+class TestDPMGuidanceInterval:
+    """guidance_interval on the DPM sampler: CFG only inside a timestep
+    band; out-of-band steps run the cond-only model (half the compute).
+    Segmented scans share one carry, so the 2M history crosses segments."""
+
+    def _noise(self, rng):
+        return jnp.asarray(rng.standard_normal((2, 8, 4)).astype(np.float32))
+
+    def test_full_band_equals_plain(self, rng):
+        noise = self._noise(rng)
+        ref = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8,
+                                guidance_scale=3.0, guidance_rescale=0.3)
+        got = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8,
+                                guidance_scale=3.0, guidance_rescale=0.3,
+                                guidance_interval=(0.0, 1000.0))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_empty_band_equals_no_cfg(self, rng):
+        noise = self._noise(rng)
+        ref = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8)
+        got = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8,
+                                guidance_scale=3.0,
+                                guidance_interval=(2000.0, 3000.0))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_partial_band_differs_from_both(self, rng):
+        noise = self._noise(rng)
+        plain = np.asarray(dpm_solver_sample(
+            cfg_aware_model, SCHED, noise, 8, guidance_scale=3.0))
+        nocfg = np.asarray(dpm_solver_sample(cfg_aware_model, SCHED, noise, 8))
+        band = np.asarray(dpm_solver_sample(
+            cfg_aware_model, SCHED, noise, 8, guidance_scale=3.0,
+            guidance_interval=(300.0, 800.0)))
+        assert np.isfinite(band).all()
+        assert np.abs(band - plain).max() > 1e-6
+        assert np.abs(band - nocfg).max() > 1e-6
+
+    def test_ignored_without_guidance_scale(self, rng):
+        noise = self._noise(rng)
+        ref = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8)
+        got = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8,
+                                guidance_interval=(300.0, 800.0))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

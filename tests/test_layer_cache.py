@@ -238,3 +238,67 @@ class TestAPILayerCache:
         assert np.abs(w_lc - w_ref).max() > 0
         c = np.corrcoef(w_ref, w_lc)[0, 1]
         assert c > 0.9, c
+
+
+class TestLayerCacheGuidanceInterval:
+    """guidance_interval x layer_cache composition: the CFG band rounds
+    outward to cache-group boundaries (full + cached calls within a group
+    must share a batch size)."""
+
+    def _run_ddim(self, setup, noise, **kw):
+        full, cached, plain = TestCachedSampler._fns(
+            TestCachedSampler(), setup)
+        schedule = DDIMSchedule.from_config(DIFF)
+        return np.asarray(jax.jit(lambda: sample_latents_layer_cached(
+            full, cached, schedule, noise, jax.random.PRNGKey(11), 8,
+            cache_interval=2, eta=1.0, **kw))())
+
+    def test_full_band_equals_plain_lc(self, setup):
+        noise = jax.random.normal(jax.random.PRNGKey(10), setup[2].shape)
+        ref = self._run_ddim(setup, noise, guidance_scale=3.0)
+        got = self._run_ddim(setup, noise, guidance_scale=3.0,
+                             guidance_interval=(0.0, 1000.0))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_empty_band_equals_no_cfg_lc(self, setup):
+        noise = jax.random.normal(jax.random.PRNGKey(12), setup[2].shape)
+        ref = self._run_ddim(setup, noise, guidance_scale=None)
+        got = self._run_ddim(setup, noise, guidance_scale=3.0,
+                             guidance_interval=(2000.0, 3000.0))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_band_rounds_outward_to_cache_groups(self, setup):
+        """A band touching only step 3 turns CFG on for its whole group
+        (steps 2-3 at interval 2) — identical to the band covering both."""
+        schedule = DDIMSchedule.from_config(DIFF)
+        ts = schedule.step_tables(8)[2]
+        noise = jax.random.normal(jax.random.PRNGKey(13), setup[2].shape)
+        only3 = self._run_ddim(setup, noise, guidance_scale=3.0,
+                               guidance_interval=(float(ts[3]), float(ts[3])))
+        both = self._run_ddim(
+            setup, noise, guidance_scale=3.0,
+            guidance_interval=(float(ts[3]), float(ts[2])))
+        np.testing.assert_array_equal(only3, both)
+        # and the rounded band is a real partial schedule (not all-CFG)
+        full = self._run_ddim(setup, noise, guidance_scale=3.0)
+        assert np.abs(only3 - full).max() > 0
+
+    def test_dpm_lc_gi_composition(self, setup):
+        from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
+
+        full, cached, plain = TestCachedSampler._fns(
+            TestCachedSampler(), setup)
+        schedule = DDIMSchedule.from_config(DIFF)
+        noise = jax.random.normal(jax.random.PRNGKey(14), setup[2].shape)
+
+        def run(**kw):
+            return np.asarray(jax.jit(lambda: dpm_solver_sample(
+                plain, schedule, noise, 8, guidance_scale=3.0,
+                layer_cache_fns=(full, cached), cache_interval=2, **kw))())
+
+        ref = run()
+        np.testing.assert_array_equal(
+            run(guidance_interval=(0.0, 1000.0)), ref)
+        band = run(guidance_interval=(300.0, 800.0))
+        assert np.isfinite(band).all()
+        assert np.abs(band - ref).max() > 0
