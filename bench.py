@@ -51,6 +51,12 @@ def main():
         layer_cache = tuple(
             int(v) for v in os.environ["BENCH_LAYER_CACHE"].split(","))
     quant = os.environ.get("BENCH_QUANT") or None
+    # BENCH_GI="t_lo,t_hi": compose a CFG guidance_interval band into the
+    # fast-recipe measurement (out-of-band steps run cond-only at half
+    # cost; quality row: mid-scale table "max+gi recipe")
+    gi = None
+    if os.environ.get("BENCH_GI"):
+        gi = tuple(float(v) for v in os.environ["BENCH_GI"].split(","))
 
     from ezaudio_tpu.api.ezaudio import EzAudio
     from ezaudio_tpu.text.t5 import T5EncoderConfig
@@ -123,7 +129,8 @@ def main():
     default_recipe = (ddim_steps == 100 and sampler == "ddim"
                       and quant is None and layer_cache is None)
     t_fast = (measure(ddim_steps=25, sampler="dpm", layer_cache=(2, 2),
-                      attn_impl="chunked_bf16", quant="int8")
+                      attn_impl="chunked_bf16", quant="int8",
+                      guidance_interval=gi)
               if default_recipe else t_ref)
 
     # optional (BENCH_DISTILLED=1): the 4-call distilled-student recipe —
@@ -139,7 +146,7 @@ def main():
     result = {
         "metric": (f"{model_name} t2a throughput, quality-validated fast "
                    f"recipe (DPM-25 + layer_cache(2,2) + chunked_bf16 attn "
-                   f"+ int8, batch {batch})"
+                   f"+ int8{f' + gi{gi}' if gi else ''}, batch {batch})"
                    if default_recipe else ref_default["metric"]),
         "value": round(value, 3),
         "unit": "audio-sec/sec/chip",

@@ -61,6 +61,7 @@ class GenerationServer:
         guidance_scale: float = 5.0,
         guidance_rescale: float = 0.75,
         sampler: str = "ddim",
+        guidance_interval: Optional[Tuple[float, float]] = None,
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
@@ -90,7 +91,9 @@ class GenerationServer:
         self.gen_kwargs = dict(ddim_steps=ddim_steps,
                                guidance_scale=guidance_scale,
                                guidance_rescale=guidance_rescale,
-                               sampler=sampler, quant=quant,
+                               sampler=sampler,
+                               guidance_interval=guidance_interval,
+                               quant=quant,
                                layer_cache=layer_cache, attn_impl=attn_impl,
                                fused=fused)
         self._q: "queue.Queue[_Request]" = queue.Queue()

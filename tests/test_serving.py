@@ -84,10 +84,12 @@ class TestServerRecipePassthrough:
 
         with GenerationServer(Spy(), max_batch_size=2, max_wait_ms=10,
                               ddim_steps=25, sampler="dpm",
+                              guidance_interval=(300, 800),
                               layer_cache=(2, 2), quant="int8") as srv:
             srv.generate("hello", seed=1, timeout=10)
         assert seen["sampler"] == "dpm" and seen["ddim_steps"] == 25
         assert seen["layer_cache"] == (2, 2) and seen["quant"] == "int8"
+        assert seen["guidance_interval"] == (300, 800)
 
     def test_real_pipeline_fast_recipe(self):
         """End-to-end through the tiny model with the composed fast recipe."""
@@ -96,6 +98,7 @@ class TestServerRecipePassthrough:
         ez = make_tiny_ezaudio()
         with GenerationServer(ez, max_batch_size=2, max_wait_ms=50,
                               length=2.0, ddim_steps=8, sampler="dpm",
+                              guidance_interval=(300, 800),
                               layer_cache=(1, 2)) as srv:
             futs = [srv.submit(p, seed=i)
                     for i, p in enumerate(["rain", "a dog"])]
