@@ -102,12 +102,11 @@ def dpm_solver_sample(
     coeff = jnp.asarray(coeff)
     inv2r = jnp.asarray(inv2r)
 
+    from ezaudio_tpu.diffusion.sampling import (
+        equal_flag_runs, group_band, guidance_band)
+
     cfg_on = guidance_scale is not None
-    if cfg_on and guidance_interval is not None:
-        t_lo, t_hi = guidance_interval
-        in_band = (ts_np >= t_lo) & (ts_np <= t_hi)
-    else:
-        in_band = np.full(num_steps, cfg_on, dtype=bool)
+    in_band = guidance_band(ts_np, num_steps, cfg_on, guidance_interval)
 
     use_cache = layer_cache_fns is not None and cache_interval > 1
     if use_cache:
@@ -150,22 +149,14 @@ def dpm_solver_sample(
             return body
 
         carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
-        start = 0
-        while start < num_steps:
-            end = start
-            while end < num_steps and in_band[end] == in_band[start]:
-                end += 1
+        for start, end, flag in equal_flag_runs(in_band):
             carry, _ = jax.lax.scan(
-                body_for(bool(in_band[start])), carry,
-                jnp.arange(start, end))
-            start = end
+                body_for(flag), carry, jnp.arange(start, end))
         return carry[0]
 
     groups = num_steps // cache_interval
-    # group-level CFG flag: any in-band step turns the whole group on
-    # (outward rounding — see docstring)
-    g_band = np.array([in_band[g * cache_interval:(g + 1) * cache_interval]
-                       .any() for g in range(groups)], dtype=bool)
+    # group-level CFG flag: outward rounding to cache-group boundaries
+    g_band = group_band(in_band, cache_interval, groups)
 
     def group_body_for(use_cfg: bool):
         def group_body(carry, g):
@@ -179,14 +170,9 @@ def dpm_solver_sample(
         return group_body
 
     carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
-    g0 = 0
-    while g0 < groups:
-        g1 = g0
-        while g1 < groups and g_band[g1] == g_band[g0]:
-            g1 += 1
+    for g0, g1, flag in equal_flag_runs(g_band):
         carry, _ = jax.lax.scan(
-            group_body_for(bool(g_band[g0])), carry, jnp.arange(g0, g1))
-        g0 = g1
+            group_body_for(flag), carry, jnp.arange(g0, g1))
     for i in range(groups * cache_interval, num_steps):
         x0, _ = predict_x0(carry[0], i, None, bool(in_band[i]))
         carry = update(carry, i, x0)

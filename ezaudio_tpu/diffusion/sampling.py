@@ -42,6 +42,47 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 
+def guidance_band(ts_np, num_steps: int, cfg_on: bool,
+                  guidance_interval) -> np.ndarray:
+    """Static per-step CFG flags for a ``(t_lo, t_hi)`` guidance band
+    (arXiv 2404.07724).  Validates the ordering — a reversed tuple would
+    otherwise silently disable CFG everywhere.  With no band (or CFG off)
+    the flags are constant, so segmentation degenerates to one scan."""
+    if cfg_on and guidance_interval is not None:
+        t_lo, t_hi = guidance_interval
+        if t_lo > t_hi:
+            raise ValueError(
+                "guidance_interval must be (t_lo, t_hi) with t_lo <= t_hi, "
+                f"got {guidance_interval!r}")
+        return (np.asarray(ts_np) >= t_lo) & (np.asarray(ts_np) <= t_hi)
+    return np.full(num_steps, cfg_on, dtype=bool)
+
+
+def equal_flag_runs(flags):
+    """Yield ``(start, end, flag)`` for maximal runs of equal values —
+    the static segmentation both samplers scan over (each run is one
+    `lax.scan` over the SAME carry, so multistep history crosses runs)."""
+    n = len(flags)
+    start = 0
+    while start < n:
+        end = start
+        while end < n and flags[end] == flags[start]:
+            end += 1
+        yield start, end, bool(flags[start])
+        start = end
+
+
+def group_band(in_band: np.ndarray, cache_interval: int,
+               groups: int) -> np.ndarray:
+    """Group-level CFG flags under layer caching: any in-band step turns
+    its whole cache group on (outward rounding — full + cached calls in a
+    group share a batch size, since the deep cache is collected at the
+    group head)."""
+    return np.array(
+        [in_band[g * cache_interval:(g + 1) * cache_interval].any()
+         for g in range(groups)], dtype=bool)
+
+
 def sample_latents(
     model_fn: Callable,
     schedule: DDIMSchedule,
@@ -106,23 +147,12 @@ def sample_latents(
 
         return body
 
-    if guidance_scale is not None and guidance_interval is not None:
-        t_lo, t_hi = guidance_interval
-        in_band = (ts_np >= t_lo) & (ts_np <= t_hi)
-        latents = noise
-        start = 0
-        while start < num_steps:
-            end = start
-            while end < num_steps and in_band[end] == in_band[start]:
-                end += 1
-            latents, _ = jax.lax.scan(
-                body_for(bool(in_band[start])), latents,
-                jnp.arange(start, end))
-            start = end
-        return latents
-
-    latents, _ = jax.lax.scan(
-        body_for(guidance_scale is not None), noise, jnp.arange(num_steps))
+    in_band = guidance_band(ts_np, num_steps, guidance_scale is not None,
+                            guidance_interval)
+    latents = noise
+    for start, end, flag in equal_flag_runs(in_band):
+        latents, _ = jax.lax.scan(
+            body_for(flag), latents, jnp.arange(start, end))
     return latents
 
 
@@ -168,11 +198,7 @@ def sample_latents_layer_cached(
     a_prev = jnp.asarray(a_prev_np)
     ts = jnp.asarray(ts_np)
     cfg_on = guidance_scale is not None
-    if cfg_on and guidance_interval is not None:
-        t_lo, t_hi = guidance_interval
-        in_band = (ts_np >= t_lo) & (ts_np <= t_hi)
-    else:
-        in_band = np.full(num_steps, cfg_on, dtype=bool)
+    in_band = guidance_band(ts_np, num_steps, cfg_on, guidance_interval)
 
     def predict(latents, t, deep, use_cfg=cfg_on):
         """One model call (+CFG); deep=None -> full call, returns new deep."""
@@ -200,9 +226,8 @@ def sample_latents_layer_cached(
         return new.astype(latents.dtype)
 
     groups = num_steps // cache_interval
-    # group-level CFG flag: any in-band step turns the whole group on
-    g_band = np.array([in_band[g * cache_interval:(g + 1) * cache_interval]
-                       .any() for g in range(groups)], dtype=bool)
+    # group-level CFG flag: outward rounding to cache-group boundaries
+    g_band = group_band(in_band, cache_interval, groups)
 
     def group_body_for(use_cfg: bool):
         def group_body(latents, g):
@@ -216,14 +241,9 @@ def sample_latents_layer_cached(
         return group_body
 
     latents = noise
-    g0 = 0
-    while g0 < groups:
-        g1 = g0
-        while g1 < groups and g_band[g1] == g_band[g0]:
-            g1 += 1
+    for g0, g1, flag in equal_flag_runs(g_band):
         latents, _ = jax.lax.scan(
-            group_body_for(bool(g_band[g0])), latents, jnp.arange(g0, g1))
-        g0 = g1
+            group_body_for(flag), latents, jnp.arange(g0, g1))
     # remainder steps (num_steps not divisible by the interval): full calls
     for i in range(groups * cache_interval, num_steps):
         pred, _ = predict(latents, ts[i], None, bool(in_band[i]))

@@ -68,6 +68,13 @@ class GenerationServer:
         fused: bool = False,  # single-dispatch pipeline (api fused=True)
         controlnet=None,  # EzAudioControlNet sharing this ez as its base
     ):
+        if sampler == "distilled" and (layer_cache is not None
+                                       or guidance_interval is not None):
+            # fail at construction, not on the first drained batch:
+            # generate_audio rejects this composition per-request
+            raise ValueError(
+                "sampler='distilled' does not compose with layer_cache or "
+                "guidance_interval (guidance is folded into the student)")
         self.ez = ez
         self.controlnet = controlnet
         self.max_batch_size = max_batch_size

@@ -116,3 +116,17 @@ class TestDPMGuidanceInterval:
         got = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8,
                                 guidance_interval=(300.0, 800.0))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_reversed_band_raises(self, rng):
+        """A reversed (t_hi, t_lo) tuple would silently disable CFG
+        everywhere — it must raise instead (both sampler families)."""
+        import pytest
+
+        with pytest.raises(ValueError, match="t_lo <= t_hi"):
+            dpm_solver_sample(cfg_aware_model, SCHED, self._noise(rng), 8,
+                              guidance_scale=3.0,
+                              guidance_interval=(800.0, 300.0))
+        with pytest.raises(ValueError, match="t_lo <= t_hi"):
+            sample_latents(cfg_aware_model, SCHED, self._noise(rng),
+                           jax.random.PRNGKey(0), 8, guidance_scale=3.0,
+                           guidance_interval=(800.0, 300.0))

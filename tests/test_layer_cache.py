@@ -90,33 +90,34 @@ class TestCacheSplit:
             model.apply(params, x, t, ctx, collect_deep_k=2)  # k == half
 
 
+def cache_fns(setup):
+    model, params, x, ctx = setup
+
+    def model_full(lat, t):
+        n = lat.shape[0]
+        c = jnp.concatenate([ctx] * (n // 2), axis=0)
+        (out, deep), _ = model.apply(params, lat, t, c, collect_deep_k=1)
+        return out, deep
+
+    def model_cached(lat, t, deep):
+        n = lat.shape[0]
+        c = jnp.concatenate([ctx] * (n // 2), axis=0)
+        out, _ = model.apply(params, lat, t, c, deep_cache=(1, deep))
+        return out
+
+    def model_plain(lat, t):
+        n = lat.shape[0]
+        c = jnp.concatenate([ctx] * (n // 2), axis=0)
+        out, _ = model.apply(params, lat, t, c)
+        return out
+
+    return model_full, model_cached, model_plain
+
+
 class TestCachedSampler:
-    def _fns(self, setup):
-        model, params, x, ctx = setup
-
-        def model_full(lat, t):
-            n = lat.shape[0]
-            c = jnp.concatenate([ctx] * (n // 2), axis=0)
-            (out, deep), _ = model.apply(params, lat, t, c, collect_deep_k=1)
-            return out, deep
-
-        def model_cached(lat, t, deep):
-            n = lat.shape[0]
-            c = jnp.concatenate([ctx] * (n // 2), axis=0)
-            out, _ = model.apply(params, lat, t, c, deep_cache=(1, deep))
-            return out
-
-        def model_plain(lat, t):
-            n = lat.shape[0]
-            c = jnp.concatenate([ctx] * (n // 2), axis=0)
-            out, _ = model.apply(params, lat, t, c)
-            return out
-
-        return model_full, model_cached, model_plain
-
     def test_interval_1_equals_plain_sampler(self, setup):
         model, params, x, ctx = setup
-        full, cached, plain = self._fns(setup)
+        full, cached, plain = cache_fns(setup)
         schedule = DDIMSchedule.from_config(DIFF)
         noise = jax.random.normal(jax.random.PRNGKey(2), x.shape)
         key = jax.random.PRNGKey(3)
@@ -130,7 +131,7 @@ class TestCachedSampler:
 
     def test_interval_2_close_and_finite(self, setup):
         model, params, x, ctx = setup
-        full, cached, plain = self._fns(setup)
+        full, cached, plain = cache_fns(setup)
         schedule = DDIMSchedule.from_config(DIFF)
         noise = jax.random.normal(jax.random.PRNGKey(4), x.shape)
         key = jax.random.PRNGKey(5)
@@ -147,7 +148,7 @@ class TestCachedSampler:
     def test_remainder_steps(self, setup):
         """num_steps not divisible by interval: the tail runs full calls."""
         model, params, x, ctx = setup
-        full, cached, plain = self._fns(setup)
+        full, cached, plain = cache_fns(setup)
         schedule = DDIMSchedule.from_config(DIFF)
         noise = jax.random.normal(jax.random.PRNGKey(6), x.shape)
         got = np.asarray(jax.jit(lambda: sample_latents_layer_cached(
@@ -161,8 +162,7 @@ class TestDPMLayerCache:
         from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
 
         model, params, x, ctx = setup
-        full, cached, plain = TestCachedSampler._fns(
-            TestCachedSampler(), setup)
+        full, cached, plain = cache_fns(setup)
         schedule = DDIMSchedule.from_config(DIFF)
         noise = jax.random.normal(jax.random.PRNGKey(8), x.shape)
         ref = jax.jit(lambda: dpm_solver_sample(
@@ -177,8 +177,7 @@ class TestDPMLayerCache:
         from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
 
         model, params, x, ctx = setup
-        full, cached, plain = TestCachedSampler._fns(
-            TestCachedSampler(), setup)
+        full, cached, plain = cache_fns(setup)
         schedule = DDIMSchedule.from_config(DIFF)
         noise = jax.random.normal(jax.random.PRNGKey(9), x.shape)
         ref = np.asarray(jax.jit(lambda: dpm_solver_sample(
@@ -246,8 +245,7 @@ class TestLayerCacheGuidanceInterval:
     must share a batch size)."""
 
     def _run_ddim(self, setup, noise, **kw):
-        full, cached, plain = TestCachedSampler._fns(
-            TestCachedSampler(), setup)
+        full, cached, plain = cache_fns(setup)
         schedule = DDIMSchedule.from_config(DIFF)
         return np.asarray(jax.jit(lambda: sample_latents_layer_cached(
             full, cached, schedule, noise, jax.random.PRNGKey(11), 8,
@@ -286,8 +284,7 @@ class TestLayerCacheGuidanceInterval:
     def test_dpm_lc_gi_composition(self, setup):
         from ezaudio_tpu.diffusion.dpm import dpm_solver_sample
 
-        full, cached, plain = TestCachedSampler._fns(
-            TestCachedSampler(), setup)
+        full, cached, plain = cache_fns(setup)
         schedule = DDIMSchedule.from_config(DIFF)
         noise = jax.random.normal(jax.random.PRNGKey(14), setup[2].shape)
 

@@ -91,6 +91,16 @@ class TestServerRecipePassthrough:
         assert seen["layer_cache"] == (2, 2) and seen["quant"] == "int8"
         assert seen["guidance_interval"] == (300, 800)
 
+    def test_distilled_rejects_schedule_knobs_at_construction(self):
+        """distilled + layer_cache/guidance_interval is a config error:
+        fail in __init__, not on the first drained batch."""
+        with pytest.raises(ValueError, match="distilled"):
+            GenerationServer(FakeEz(), sampler="distilled",
+                             guidance_interval=(300, 800))
+        with pytest.raises(ValueError, match="distilled"):
+            GenerationServer(FakeEz(), sampler="distilled",
+                             layer_cache=(2, 2))
+
     def test_real_pipeline_fast_recipe(self):
         """End-to-end through the tiny model with the composed fast recipe."""
         from tests.tiny_config import make_tiny_ezaudio
