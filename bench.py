@@ -5,10 +5,12 @@ reference's default sampling cost (100 DDIM steps x 2 CFG forwards,
 guidance 5.0, rescale 0.75 — reference api/ezaudio.py:101-103, reported
 under "reference_default_recipe") and at the fastest quality-validated
 recipe (DPM-Solver++(2M)-25 + DiT layer_cache(2,2) + chunked-bf16
-attention + int8 W8A8 linears — the composition FAD-validated on a
-TPU-trained mid-scale model, BASELINE.md mid-scale table; reported as
-the headline value).  Random weights (throughput is weight-independent), bf16
-compute, on the available accelerator.
+attention + int8 W8A8 linears + guidance_interval(300,800) — the
+composition FAD-validated on a TPU-trained mid-scale model, BASELINE.md
+mid-scale table, where the CFG band IMPROVES FAD while halving
+out-of-band step cost; reported as the headline value).  Random weights
+(throughput is weight-independent), bf16 compute, on the available
+accelerator.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
@@ -51,12 +53,16 @@ def main():
         layer_cache = tuple(
             int(v) for v in os.environ["BENCH_LAYER_CACHE"].split(","))
     quant = os.environ.get("BENCH_QUANT") or None
-    # BENCH_GI="t_lo,t_hi": compose a CFG guidance_interval band into the
-    # fast-recipe measurement (out-of-band steps run cond-only at half
-    # cost; quality row: mid-scale table "max+gi recipe")
-    gi = None
-    if os.environ.get("BENCH_GI"):
-        gi = tuple(float(v) for v in os.environ["BENCH_GI"].split(","))
+    # guidance_interval: DEFAULT in the fast recipe — the mid-scale table
+    # shows gi(300,800) IMPROVES FAD (27.4 vs 30.1 composed, 22.0 vs 28.1
+    # on DDIM-100: full-schedule CFG over-sharpens, arXiv 2404.07724)
+    # while out-of-band steps run cond-only at half cost (+12.6% same-
+    # session at batch 4).  BENCH_GI="t_lo,t_hi" overrides; "off" disables.
+    # Env-pinned recipes compose gi only when BENCH_GI is set explicitly.
+    gi_env = os.environ.get("BENCH_GI")
+    gi_override = (None if gi_env in (None, "", "off", "0")
+                   else tuple(float(x) for x in gi_env.split(",")))
+    gi_fast = (300.0, 800.0) if gi_env is None else gi_override
 
     from ezaudio_tpu.api.ezaudio import EzAudio
     from ezaudio_tpu.text.t5 import T5EncoderConfig
@@ -117,10 +123,10 @@ def main():
                       and quant is None and layer_cache is None)
     t_ref = measure(ddim_steps=ddim_steps, sampler=sampler, quant=quant,
                     layer_cache=layer_cache,
-                    guidance_interval=None if default_recipe else gi)
+                    guidance_interval=None if default_recipe else gi_override)
     ref_default = {
         "metric": (f"{model_name} {ddim_steps}-step {sampler.upper()}+CFG"
-                   f"{f' gi{gi}' if gi and not default_recipe else ''}"
+                   f"{f' gi{gi_override}' if gi_override and not default_recipe else ''}"
                    f" t2a throughput (batch {batch})"),
         "value": round(audio_sec / t_ref / n_chips, 3),
         "unit": "audio-sec/sec/chip",
@@ -136,7 +142,7 @@ def main():
     #    env already pins a non-default recipe.
     t_fast = (measure(ddim_steps=25, sampler="dpm", layer_cache=(2, 2),
                       attn_impl="chunked_bf16", quant="int8",
-                      guidance_interval=gi)
+                      guidance_interval=gi_fast)
               if default_recipe else t_ref)
 
     # optional (BENCH_DISTILLED=1): the 4-call distilled-student recipe —
@@ -152,7 +158,7 @@ def main():
     result = {
         "metric": (f"{model_name} t2a throughput, quality-validated fast "
                    f"recipe (DPM-25 + layer_cache(2,2) + chunked_bf16 attn "
-                   f"+ int8{f' + gi{gi}' if gi else ''}, batch {batch})"
+                   f"+ int8{f' + gi{gi_fast}' if gi_fast else ''}, batch {batch})"
                    if default_recipe else ref_default["metric"]),
         "value": round(value, 3),
         "unit": "audio-sec/sec/chip",
