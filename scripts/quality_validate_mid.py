@@ -426,6 +426,24 @@ def main():  # noqa: C901 — linear experiment script
              " (max+gi recipe)",
              dpm(25, (k_lc, 2), interval=(300, 800)),
              {"quant_int8": True, "attn_impl": "chunked_bf16"}),
+            # gi bought FAD headroom below the reference default — probe
+            # whether it can buy FEWER STEPS instead (headline ~1/steps)
+            # and whether (300,800) is the best band at this scale
+            (f"DPM-20 + lc({k_lc},2) + gi(300,800) + bf16 + int8 (explore20)",
+             dpm(20, (k_lc, 2), interval=(300, 800)),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
+            (f"DPM-15 + lc({k_lc},2) + gi(300,800) + bf16 + int8 (explore15)",
+             dpm(15, (k_lc, 2), interval=(300, 800)),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
+            (f"DPM-25 + lc({k_lc},2) + gi(200,800) + bf16 + int8 (band200)",
+             dpm(25, (k_lc, 2), interval=(200, 800)),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
+            (f"DPM-25 + lc({k_lc},2) + gi(300,900) + bf16 + int8 (band900)",
+             dpm(25, (k_lc, 2), interval=(300, 900)),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
+            (f"DPM-25 + lc({k_lc},2) + gi(400,700) + bf16 + int8 (band47)",
+             dpm(25, (k_lc, 2), interval=(400, 700)),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
         ]
 
     # MID_ROWS="substr1,substr2": run only rows whose name contains one of
