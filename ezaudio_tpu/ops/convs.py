@@ -22,6 +22,7 @@ ConvTranspose1d ``(T-1)s - 2p + k``.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -128,15 +129,44 @@ class ConvTranspose1d(nn.Module):
         else:
             kernel = self.param("kernel", _torch_conv_kernel_init(fan_in), kshape, jnp.float32)
 
-        pad = k - 1 - self.padding
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        s = self.stride
+        if (s > 1 and k == 2 * s and self.padding <= s
+                and os.environ.get("EZAUDIO_CONVT_IMPL", "lax") == "polyphase"):
+            # Polyphase dense form — MEASURED SLOWER than the lax
+            # lowering on real TPU (probe13: full Oobleck decode 97.8 ms
+            # polyphase vs 76.0 ms lax at batch 4 bf16), i.e. XLA:TPU
+            # already lowers lhs_dilation efficiently; kept env-selectable
+            # (EZAUDIO_CONVT_IMPL=polyphase) as the documented refutation.
+            # The hypothesis was: at stride s the MXU multiplies (s-1)/s
+            # zeros.  For the k=2s geometry every output sample has
+            # exactly two taps; with zero torch-padding,
+            #   y[i*s + phi] = x[i-1] @ Wt[phi+s] + x[i] @ Wt[phi]
+            # (phi in [0,s), i in [0,T], out-of-range x = 0; derived
+            # from torch's m = t*s + j - p), i.e. ONE dense matmul
+            # (B*(T+1), 2*in) @ (2*in, s*out) with zero wasted lanes.
+            # torch's ``padding`` merely crops p samples off each side.
+            # Our stored kernel is the time-FLIPPED torch weight
+            # (correlation orientation), so Wt[j] = kernel[k-1-j].
+            kd = kernel.astype(self.dtype)
+            wbig = jnp.concatenate(
+                [jnp.flip(kd[:s], 0), jnp.flip(kd[s:], 0)], axis=1)  # (s, 2in, out)
+            xd = x.astype(self.dtype)
+            bsz, t_in, _ = xd.shape
+            xp = jnp.pad(xd, ((0, 0), (1, 1), (0, 0)))
+            z = jnp.concatenate([xp[:, :-1], xp[:, 1:]], axis=-1)
+            out = jnp.einsum("btc,scd->btsd", z, wbig)
+            y = out.reshape(bsz, (t_in + 1) * s, self.out_channels)
+            y = y[:, self.padding: (t_in + 1) * s - self.padding]
+        else:
+            pad = k - 1 - self.padding
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1,),
+                padding=[(pad, pad)],
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if self.use_bias:
             b = self.param("bias", _torch_conv_kernel_init(fan_in), (self.out_channels,), jnp.float32)
             y = y + b.astype(self.dtype)

@@ -152,7 +152,7 @@ class TestConvs:
         got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=1e-4)
 
-    @pytest.mark.parametrize("k,s,p", [(4, 2, 1), (8, 4, 2), (12, 6, 3), (20, 10, 5)])
+    @pytest.mark.parametrize("k,s,p", [(4, 2, 1), (8, 4, 2), (12, 6, 3), (20, 10, 5), (10, 5, 0), (10, 5, 3), (6, 3, 2)])
     def test_conv_transpose1d_parity(self, rng, k, s, p):
         Cin, Cout, T = 5, 6, 13
         x = rng.standard_normal((2, T, Cin)).astype(np.float32)
@@ -166,6 +166,20 @@ class TestConvs:
         got = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
         assert got.shape == want.shape, (got.shape, want.shape)
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+    @pytest.mark.parametrize("k,s,p", [(4, 2, 1), (8, 4, 2), (12, 6, 3), (20, 10, 5), (10, 5, 0), (10, 5, 3), (6, 3, 2)])
+    def test_conv_transpose1d_polyphase_matches_lax(self, rng, k, s, p, monkeypatch):
+        """The polyphase dense-matmul fast path (ops/convs.py, probe13)
+        must be numerically identical to the lhs_dilation lax lowering."""
+        Cin, Cout, T = 5, 6, 13
+        x = jnp.asarray(rng.standard_normal((2, T, Cin)).astype(np.float32))
+        m = ConvTranspose1d(in_channels=Cin, out_channels=Cout, kernel_size=k, stride=s, padding=p)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("EZAUDIO_CONVT_IMPL", "lax")
+        want = np.asarray(m.apply(variables, x))
+        monkeypatch.setenv("EZAUDIO_CONVT_IMPL", "polyphase")
+        got = np.asarray(m.apply(variables, x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_weight_norm_conv_parity(self, rng):
         Cin, Cout, T, k = 4, 8, 20, 7
