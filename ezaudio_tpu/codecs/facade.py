@@ -15,6 +15,7 @@ Layouts: audio (B, T, 1) float32 in [-1, 1]; latents (B, L, C).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -82,8 +83,19 @@ class AutoencoderFacade:
         # jitted paths
         self._enc = jax.jit(lambda p, a: model.apply({"params": p}, a,
                                                      method=lambda m, a: m.encoder(a)))
-        self._dec = jax.jit(lambda p, z: model.apply({"params": p}, z,
-                                                     method=lambda m, z: m.decoder(z)))
+        # fused-kernel decode (ops/pallas/resunit.py, probe13): same param
+        # tree, one HBM pass per ResidualUnit instead of 4+.  The live
+        # weight-norm parameterization (VAE training parity) keeps the
+        # flax path; EZAUDIO_VAE_FUSED=0 reverts.
+        if (not getattr(model, "use_weight_norm", False)
+                and os.environ.get("EZAUDIO_VAE_FUSED", "1") != "0"):
+            from ezaudio_tpu.codecs.oobleck_fast import decode_fused_for
+
+            self._dec = jax.jit(
+                lambda p, z: decode_fused_for(model, p, z))
+        else:
+            self._dec = jax.jit(lambda p, z: model.apply(
+                {"params": p}, z, method=lambda m, z: m.decoder(z)))
 
     # ------------------------------------------------------------------
     @classmethod
