@@ -80,20 +80,22 @@ class AutoencoderFacade:
             return
         self.downsampling_ratio = model.downsampling_ratio
 
-        # jitted paths
-        self._enc = jax.jit(lambda p, a: model.apply({"params": p}, a,
-                                                     method=lambda m, a: m.encoder(a)))
-        # fused-kernel decode (ops/pallas/resunit.py, probe13): same param
-        # tree, one HBM pass per ResidualUnit instead of 4+.  The live
-        # weight-norm parameterization (VAE training parity) keeps the
-        # flax path; EZAUDIO_VAE_FUSED=0 reverts.
+        # fused-kernel encode/decode (ops/pallas/resunit.py, probe13/14):
+        # same param tree, one HBM pass per ResidualUnit instead of 4+.
+        # The live weight-norm parameterization (VAE training parity)
+        # keeps the flax path; EZAUDIO_VAE_FUSED=0 reverts.
         if (not getattr(model, "use_weight_norm", False)
                 and os.environ.get("EZAUDIO_VAE_FUSED", "1") != "0"):
-            from ezaudio_tpu.codecs.oobleck_fast import decode_fused_for
+            from ezaudio_tpu.codecs.oobleck_fast import (decode_fused_for,
+                                                         encode_fused_for)
 
+            self._enc = jax.jit(
+                lambda p, a: encode_fused_for(model, p, a))
             self._dec = jax.jit(
                 lambda p, z: decode_fused_for(model, p, z))
         else:
+            self._enc = jax.jit(lambda p, a: model.apply(
+                {"params": p}, a, method=lambda m, a: m.encoder(a)))
             self._dec = jax.jit(lambda p, z: model.apply(
                 {"params": p}, z, method=lambda m, z: m.decoder(z)))
 

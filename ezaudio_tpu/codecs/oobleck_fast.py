@@ -95,3 +95,31 @@ def decode_fused_for(model, params, z, interpret=False):
         params["decoder"], z, channels=model.channels,
         c_mults=model.c_mults, strides=model.strides,
         final_tanh=model.final_tanh, dtype=model.dtype, interpret=interpret)
+
+
+def encode_fused(enc_params, audio, *, channels: int, c_mults, strides,
+                 dtype=jnp.float32, interpret=False):
+    """``OobleckEncoder`` forward on its flax param subtree (same kernel
+    win on the encode side — the first block's ResidualUnits run at the
+    C=128 / full-sample-rate geometry, the mirror of the decoder tail).
+    Used by training's per-batch VAE encode and the editing/ControlNet
+    request paths.  Reference: ``autoencoders.py:115-146``."""
+    mults = (1,) + tuple(c_mults)
+    x = _conv(audio, enc_params["stem"], padding=3, dtype=dtype)
+    for i, s in enumerate(strides):
+        bp = enc_params[f"block{i}"]
+        for r, d in enumerate((1, 3, 9)):
+            x = _resunit(x, bp[f"res{r}"], d, dtype, interpret)
+        x = _snake(x, bp["act"], dtype)
+        x = _conv(x, bp["down"], stride=s, padding=math.ceil(s / 2),
+                  dtype=dtype)
+    x = _snake(x, enc_params["act"], dtype)
+    return _conv(x, enc_params["head"], padding=1, dtype=dtype)
+
+
+def encode_fused_for(model, params, audio, interpret=False):
+    """Convenience: route an ``AudioVAE``'s encode through the fused path."""
+    return encode_fused(
+        params["encoder"], audio, channels=model.channels,
+        c_mults=model.c_mults, strides=model.strides,
+        dtype=model.dtype, interpret=interpret)

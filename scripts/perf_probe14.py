@@ -72,3 +72,19 @@ y0 = np.asarray(jax.jit(flax_fn)(params, z), np.float32)
 y1 = np.asarray(jax.jit(fused_fn)(params, z), np.float32)
 rel = np.abs(y1 - y0).max() / (np.abs(y0).max() + 1e-9)
 print(f"[numerics] max rel err fused vs flax: {rel:.2e}")
+
+# --- encode side (training per-batch VAE encode + editing/ControlNet) ---
+from ezaudio_tpu.codecs.oobleck_fast import encode_fused_for
+
+audio = jax.random.normal(key, (B, T * 480, 1), DT) * 0.1
+enc_flax = lambda p, a: vae.apply({"params": p}, a,
+                                  method=lambda m, q: m.encoder(q))
+enc_fused = lambda p, a: encode_fused_for(vae, p, a)
+t_ef = scan_time(enc_flax, params, audio)
+print(f"[encode flax/XLA]   {t_ef*1e3:6.1f} ms/batch{B}")
+t_eg = scan_time(enc_fused, params, audio)
+print(f"[encode FUSED]      {t_eg*1e3:6.1f} ms/batch{B}  ({t_ef/t_eg:.2f}x)")
+e0 = np.asarray(jax.jit(enc_flax)(params, audio), np.float32)
+e1 = np.asarray(jax.jit(enc_fused)(params, audio), np.float32)
+rel = np.abs(e1 - e0).max() / (np.abs(e0).max() + 1e-9)
+print(f"[encode numerics] max rel err fused vs flax: {rel:.2e}")

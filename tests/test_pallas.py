@@ -166,3 +166,37 @@ class TestFusedDecode:
         fused = AutoencoderFacade(vae, params).decode(z)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                    atol=2e-5)
+
+    def test_encode_fused_matches_flax(self, rng):
+        from ezaudio_tpu.codecs.oobleck import AudioVAE
+        from ezaudio_tpu.codecs.oobleck_fast import encode_fused_for
+
+        vae = AudioVAE(channels=8, latent_dim=4, c_mults=(1, 2),
+                       strides=(2, 3))
+        audio = jnp.asarray(rng.standard_normal((2, 36, 1)).astype(np.float32))
+        params = vae.init({"params": jax.random.PRNGKey(0),
+                           "sample": jax.random.PRNGKey(1)},
+                          jnp.zeros((1, 24, 1)))["params"]
+        want = vae.apply({"params": params}, audio,
+                         method=lambda m, a: m.encoder(a))
+        got = encode_fused_for(vae, params, audio)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_facade_encode_routes_fused(self, rng, monkeypatch):
+        from ezaudio_tpu.codecs.facade import AutoencoderFacade
+        from ezaudio_tpu.codecs.oobleck import AudioVAE
+
+        vae = AudioVAE(channels=8, latent_dim=4, c_mults=(1, 2),
+                       strides=(2, 3))
+        params = vae.init({"params": jax.random.PRNGKey(0),
+                           "sample": jax.random.PRNGKey(1)},
+                          jnp.zeros((1, 24, 1)))["params"]
+        audio = jnp.asarray(rng.standard_normal((1, 36, 1)).astype(np.float32))
+
+        monkeypatch.setenv("EZAUDIO_VAE_FUSED", "0")
+        ref = AutoencoderFacade(vae, params).encode(audio, sample=False)
+        monkeypatch.setenv("EZAUDIO_VAE_FUSED", "1")
+        fused = AutoencoderFacade(vae, params).encode(audio, sample=False)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=2e-5)
