@@ -377,14 +377,13 @@ class EzAudio:
                                   eta, False, guidance_interval, sampler,
                                   layer_cache)
         t5 = self.t5
-        vae_model = self.autoencoder.model
         dtype = self.dtype
         latent_dim = self.latent_dim
         scale, shift = self.scale, self.shift
-
-        def _decode(vae_params, z):
-            return vae_model.apply({"params": vae_params}, z,
-                                   method=lambda m, z: m.decoder(z))
+        # the facade's own pure decode fn: the fused program must pick the
+        # SAME decoder implementation (flax vs fused resunit kernel) as the
+        # staged path, or fused=True silently diverges on TPU
+        _decode = self.autoencoder.decode_fn
 
         def _core(dit_params, t5_params, vae_params, ids, mask,
                   un_emb, un_mask, noise, seed):
@@ -668,6 +667,55 @@ class EzAudio:
         wav = np.concatenate(
             [np.asarray(p)[..., 0] for p in parts], axis=0)[:B]
         return self.sr, (wav if batched else wav[0])
+
+    # ------------------------------------------------------------------
+    def generate_audio_reranked(
+        self,
+        text: Union[str, Sequence[str]],
+        scorer,
+        n_candidates: int = 4,
+        text_ids=None,
+        return_all: bool = False,
+        **generate_kw,
+    ):
+        """Best-of-K generation: draw ``n_candidates`` samples per prompt in
+        ONE batched call, score each against its prompt with CLAP, return
+        the best waveform per prompt.
+
+        This fills the reference's *intended* CLAP seam end-to-end — its
+        ``src/modules/clap_wrapper.py`` is an empty placeholder file — with
+        the native scorer (:class:`ezaudio_tpu.audio.clap.CLAPScorer`).
+        Candidates differ by their noise draw (one (B*K, frames, C) draw;
+        a fixed ``random_seed`` keeps the whole set reproducible).
+
+        ``scorer``: a ``CLAPScorer``.  ``text_ids``: optional pre-tokenized
+        CLAP input_ids for the B prompts — required when the scorer has no
+        tokenizer.  ``return_all=True`` additionally returns every
+        candidate, reshaped (B, K, T), and the (B, K) score matrix.
+        ``**generate_kw`` is forwarded to :meth:`generate_audio` (recipe
+        knobs compose: sampler/layer_cache/guidance_interval/...).
+        """
+        batched = not isinstance(text, str)
+        texts = list(text) if batched else [text]
+        B, K = len(texts), int(n_candidates)
+        assert K >= 1
+        tiled = [t for t in texts for _ in range(K)]
+        sr, wav = self.generate_audio(tiled, **generate_kw)  # (B*K, T)
+
+        # embed the B prompts ONCE (not per candidate), then per-pair
+        # cosine against the (B, K) audio embedding block
+        a = scorer.embed_audio(np.asarray(wav), sr)           # (B*K, D)
+        t_emb = scorer.embed_text(
+            texts if text_ids is None else text_ids)          # (B, D)
+        scores = np.asarray(
+            jnp.einsum("bkd,bd->bk", a.reshape(B, K, -1), t_emb))
+        best = scores.argmax(axis=1)                          # (B,)
+        best_wav = wav.reshape(B, K, -1)[np.arange(B), best]
+        if not batched:
+            best_wav = best_wav[0]
+        if return_all:
+            return sr, best_wav, wav.reshape(B, K, -1), scores
+        return sr, best_wav
 
     # ------------------------------------------------------------------
     def generate_long(

@@ -89,15 +89,19 @@ class AutoencoderFacade:
             from ezaudio_tpu.codecs.oobleck_fast import (decode_fused_for,
                                                          encode_fused_for)
 
-            self._enc = jax.jit(
-                lambda p, a: encode_fused_for(model, p, a))
-            self._dec = jax.jit(
-                lambda p, z: decode_fused_for(model, p, z))
+            self.encode_fn = lambda p, a: encode_fused_for(model, p, a)
+            self.decode_fn = lambda p, z: decode_fused_for(model, p, z)
         else:
-            self._enc = jax.jit(lambda p, a: model.apply(
-                {"params": p}, a, method=lambda m, a: m.encoder(a)))
-            self._dec = jax.jit(lambda p, z: model.apply(
-                {"params": p}, z, method=lambda m, z: m.decoder(z)))
+            self.encode_fn = lambda p, a: model.apply(
+                {"params": p}, a, method=lambda m, a: m.encoder(a))
+            self.decode_fn = lambda p, z: model.apply(
+                {"params": p}, z, method=lambda m, z: m.decoder(z))
+        # decode_fn/encode_fn are the PURE functions behind this facade's
+        # jitted calls — callers embedding the codec inside a larger jit
+        # (the fused text->waveform program, trainers) must use them so
+        # every path picks the same kernel (flax vs fused resunit).
+        self._enc = jax.jit(self.encode_fn)
+        self._dec = jax.jit(self.decode_fn)
 
     # ------------------------------------------------------------------
     @classmethod

@@ -71,7 +71,6 @@ def decode_fused(dec_params, z, *, channels: int, c_mults, strides,
     built with ``use_weight_norm=False`` (the inference parameterization —
     weight norm is folded at checkpoint conversion).
     """
-    mults = (1,) + tuple(c_mults)
     x = _conv(z, dec_params["stem"], padding=3, dtype=dtype)
     n = len(strides)
     for j, i in enumerate(range(n, 0, -1)):
@@ -104,7 +103,6 @@ def encode_fused(enc_params, audio, *, channels: int, c_mults, strides,
     C=128 / full-sample-rate geometry, the mirror of the decoder tail).
     Used by training's per-batch VAE encode and the editing/ControlNet
     request paths.  Reference: ``autoencoders.py:115-146``."""
-    mults = (1,) + tuple(c_mults)
     x = _conv(audio, enc_params["stem"], padding=3, dtype=dtype)
     for i, s in enumerate(strides):
         bp = enc_params[f"block{i}"]

@@ -432,3 +432,59 @@ class TestFusedPath:
             ez._fused.cache_clear()
             ez._sampler.cache_clear()
         np.testing.assert_array_equal(wf, wu)
+
+
+class _StubScorer:
+    """Duck-typed CLAPScorer double: deterministic embeddings derived from
+    the inputs, so the rerank test can assert the selection math without a
+    full (fixed-geometry) CLAP tower.  embed_audio keys on waveform energy;
+    embed_text keys on prompt length — both 2-d unit vectors."""
+
+    def __init__(self):
+        self.audio_calls = 0
+        self.text_calls = 0
+
+    @staticmethod
+    def _unit(v):
+        v = np.stack([np.cos(v), np.sin(v)], axis=-1)
+        return v.astype(np.float32)
+
+    def embed_audio(self, wav, sr):
+        self.audio_calls += 1
+        wav = np.asarray(wav)
+        return self._unit(np.sqrt((wav**2).mean(axis=-1)) * 50)
+
+    def embed_text(self, texts):
+        self.text_calls += 1
+        return self._unit(np.asarray([float(len(t)) for t in texts]))
+
+
+class TestClapRerank:
+    """generate_audio_reranked: the reference's empty clap_wrapper.py seam,
+    filled (best-of-K by CLAP score)."""
+
+    def test_selects_argmax_per_prompt(self, ez):
+        scorer = _StubScorer()
+        prompts = ["rain", "a dog barking"]
+        sr, best, allw, scores = ez.generate_audio_reranked(
+            prompts, scorer, n_candidates=3, return_all=True,
+            length=2, ddim_steps=3, random_seed=11)
+        assert sr == TINY_SR
+        assert best.shape == (2, 2 * TINY_SR)
+        assert allw.shape == (2, 3, 2 * TINY_SR)
+        assert scores.shape == (2, 3)
+        # candidates are genuinely distinct draws
+        assert np.abs(allw[:, 0] - allw[:, 1]).max() > 1e-6
+        # the returned waveform IS the per-prompt argmax candidate
+        for b in range(2):
+            np.testing.assert_array_equal(best[b], allw[b, scores[b].argmax()])
+        # prompts embedded once (B texts), audio once (B*K batch)
+        assert scorer.text_calls == 1 and scorer.audio_calls == 1
+
+    def test_reproducible_and_single_prompt(self, ez):
+        scorer = _StubScorer()
+        kw = dict(length=2, ddim_steps=3, random_seed=5)
+        _, b1 = ez.generate_audio_reranked("rain", scorer, n_candidates=2, **kw)
+        _, b2 = ez.generate_audio_reranked("rain", scorer, n_candidates=2, **kw)
+        assert b1.shape == (2 * TINY_SR,)
+        np.testing.assert_array_equal(b1, b2)
