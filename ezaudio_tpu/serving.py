@@ -67,6 +67,7 @@ class GenerationServer:
         attn_impl: Optional[str] = None,
         fused: bool = False,  # single-dispatch pipeline (api fused=True)
         controlnet=None,  # EzAudioControlNet sharing this ez as its base
+        clap_scorer=None,  # CLAPScorer enabling submit_reranked
     ):
         if sampler == "distilled" and (layer_cache is not None
                                        or guidance_interval is not None):
@@ -77,6 +78,7 @@ class GenerationServer:
                 "guidance_interval (guidance is folded into the student)")
         self.ez = ez
         self.controlnet = controlnet
+        self.clap_scorer = clap_scorer
         self.max_batch_size = max_batch_size
         self.max_wait = max_wait_ms / 1000.0
         # on a mesh, align buckets to the data-parallel world so padded
@@ -107,7 +109,8 @@ class GenerationServer:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "padded_slots": 0,
-                      "edit_requests": 0, "controlnet_requests": 0}
+                      "edit_requests": 0, "controlnet_requests": 0,
+                      "rerank_requests": 0}
 
     # ------------------------------------------------------------------
     def start(self):
@@ -203,6 +206,34 @@ class GenerationServer:
                        edit_kwargs=dict(audio_path=audio_path, **kw))
         self.stats["requests"] += 1
         self.stats["controlnet_requests"] += 1
+        self._q.put(req)
+        return req.future
+
+    def submit_reranked(self, text: str, n_candidates: int = 4,
+                        seed: Optional[int] = None,
+                        length: Optional[float] = None, **kw) -> Future:
+        """Enqueue a best-of-K reranked generation (one batched K-candidate
+        call scored by the server's ``clap_scorer`` — see
+        ``EzAudio.generate_audio_reranked``).  Dispatched per-request: the
+        K candidates already fill a device batch."""
+        if self.clap_scorer is None:
+            raise ValueError(
+                "this GenerationServer was built without a clap_scorer=; "
+                "pass a CLAPScorer (ezaudio_tpu.audio.clap) to enable "
+                "submit_reranked")
+        if self._stop.is_set():
+            raise RuntimeError(
+                "GenerationServer is stopped; requests submitted now would "
+                "never be processed")
+        req = _Request(text=text,
+                       seed=int(seed if seed is not None
+                                else np.random.randint(0, 2**31 - 1)),
+                       kind="rerank",
+                       length=float(length if length is not None
+                                    else self.default_length),
+                       edit_kwargs=dict(n_candidates=int(n_candidates), **kw))
+        self.stats["requests"] += 1
+        self.stats["rerank_requests"] += 1
         self._q.put(req)
         return req.future
 
@@ -308,6 +339,20 @@ class GenerationServer:
             if not req.future.done():
                 req.future.set_exception(e)
 
+    def _run_rerank(self, req: _Request):
+        self.stats["batches"] += 1
+        try:
+            kw = {k: v for k, v in self.gen_kwargs.items()
+                  if k != "fused"}  # rerank runs the staged batched path
+            kw.update(req.edit_kwargs)
+            sr, wav = self.ez.generate_audio_reranked(
+                req.text, self.clap_scorer, random_seed=req.seed,
+                length=req.length, **kw)
+            req.future.set_result((sr, np.asarray(wav)))
+        except Exception as e:
+            if not req.future.done():
+                req.future.set_exception(e)
+
     def _run_controlnet(self, req: _Request):
         self.stats["batches"] += 1
         try:
@@ -337,6 +382,8 @@ class GenerationServer:
                     self._run_edit(r)
                 elif r.kind == "controlnet":
                     self._run_controlnet(r)
+                elif r.kind == "rerank":
+                    self._run_rerank(r)
                 else:
                     groups.setdefault(r.bucket, []).append(r)
             for bucket_len, group in sorted(groups.items()):

@@ -279,3 +279,32 @@ class TestHeterogeneousServing:
         with GenerationServer(cn.base, max_batch_size=1) as srv2:
             with pytest.raises(ValueError, match="controlnet"):
                 srv2.submit_controlnet("x", ref)
+
+
+class TestServedRerank:
+    """submit_reranked: best-of-K through the scheduler (fake backend)."""
+
+    def test_served_rerank_path(self):
+        class RerankEz(FakeEz):
+            def generate_audio_reranked(self, text, scorer, n_candidates=4,
+                                        random_seed=None, length=None, **kw):
+                with self.lock:
+                    self.calls.append(("rerank", text, n_candidates,
+                                       random_seed, length))
+                return 24000, np.full(16, float(n_candidates))
+
+        ez = RerankEz()
+        scorer = object()
+        with GenerationServer(ez, max_wait_ms=10,
+                              clap_scorer=scorer) as srv:
+            sr, wav = srv.submit_reranked(
+                "rain", n_candidates=3, seed=7, length=2.0).result(timeout=10)
+        assert sr == 24000 and wav[0] == 3.0
+        kind, text, k, seed, length = ez.calls[-1]
+        assert (kind, text, k, seed, length) == ("rerank", "rain", 3, 7, 2.0)
+        assert srv.stats["rerank_requests"] == 1
+
+    def test_rerank_requires_scorer(self):
+        with GenerationServer(FakeEz(), max_wait_ms=10) as srv:
+            with pytest.raises(ValueError, match="clap_scorer"):
+                srv.submit_reranked("x")
