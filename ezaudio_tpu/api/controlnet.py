@@ -43,14 +43,24 @@ class EzAudioControlNet:
         vae_config: Optional[dict] = None,
         dtype=jnp.float32,
         seed: int = 0,
+        mesh=None,
+        base: Optional[EzAudio] = None,
     ):
-        # base model (DiT + VAE + T5 + scheduler)
-        self.base = EzAudio(
-            model_name=model_name,
-            config=config, config_path=config_path, ckpt_path=ckpt_path,
-            vae_path=vae_path, t5_path=t5_path,
-            tokenizer_path=tokenizer_path,
-            t5_config=t5_config, vae_config=vae_config, dtype=dtype, seed=seed)
+        # base model (DiT + VAE + T5 + scheduler).  Pass ``base=`` to share
+        # an existing EzAudio instance (serving both the t2a and ControlNet
+        # paths from ONE param set + compile cache — GenerationServer does
+        # this); otherwise one is built here, on ``mesh`` if given.
+        if base is not None:
+            self.base = base
+            mesh = base.mesh
+        else:
+            self.base = EzAudio(
+                model_name=model_name,
+                config=config, config_path=config_path, ckpt_path=ckpt_path,
+                vae_path=vae_path, t5_path=t5_path,
+                tokenizer_path=tokenizer_path,
+                t5_config=t5_config, vae_config=vae_config, dtype=dtype,
+                seed=seed, mesh=mesh)
         cfg = self.base.params_cfg
         self.dtype = dtype
 
@@ -76,6 +86,14 @@ class EzAudioControlNet:
             params = init_params_from_base(
                 variables["params"], self.base.dit_params["params"]["model"])
             self.cn_params = {"params": params}
+
+        if mesh is not None:
+            # ControlNet weights replicate on the mesh (they mirror the DiT
+            # in-blocks but the single-clip path's win is sharing the
+            # already-placed base params, not tp on the branch)
+            from ezaudio_tpu.parallel.mesh import replicate
+
+            self.cn_params = replicate(mesh, self.cn_params)
 
         self.conditioner = Conditioner(**cfg.conditioner.to_dict())
 

@@ -147,3 +147,63 @@ class TestControlNetEndToEnd:
         _, w_q = ez.generate_audio("a tone", ref, ddim_steps=4, random_seed=1,
                                    quant="int8")
         assert np.isfinite(w_q).all()
+
+
+class TestControlNetSharedBase:
+    """EzAudioControlNet(base=...) shares one EzAudio (params + compile
+    caches) and mesh= forwards to the base — the serving configuration."""
+
+    @staticmethod
+    def _cfg():
+        from tests.tiny_config import TINY_CONFIG
+
+        cfg = dict(TINY_CONFIG)
+        cfg["controlnet"] = dict(cond_in=1, cond_blocks=[8, 16], cond_mask=True,
+                                 cond_mask_prob=0.25, cond_mask_ratio=[0.25, 0.5],
+                                 cond_mask_span=4)
+        cfg["conditioner"] = dict(condition_type="energy", hop_size=8,
+                                  window_size=64, padding="reflect",
+                                  min_db=-60, norm=True)
+        return cfg
+
+    def test_shared_base_matches_own_base(self):
+        from ezaudio_tpu.api.controlnet import EzAudioControlNet
+        from ezaudio_tpu.api.ezaudio import EzAudio
+        from tests.tiny_config import TINY_T5, TINY_SR, TINY_VAE_CONFIG
+
+        cfg = self._cfg()
+        own = EzAudioControlNet(config=cfg, t5_config=TINY_T5,
+                                vae_config=TINY_VAE_CONFIG)
+        base = EzAudio(config=cfg, t5_config=TINY_T5,
+                       vae_config=TINY_VAE_CONFIG)
+        shared = EzAudioControlNet(base=base)
+        assert shared.base is base
+        ref = (0.5 * np.sin(2 * np.pi * 55 * np.arange(2 * TINY_SR) / TINY_SR)
+               ).astype(np.float32)
+        kw = dict(ddim_steps=3, random_seed=0)
+        _, w_own = own.generate_audio("a tone", ref, **kw)
+        _, w_shared = shared.generate_audio("a tone", ref, **kw)
+        # same config + same seeds -> identical params either way
+        np.testing.assert_array_equal(w_own, w_shared)
+
+    def test_mesh_forwarding_matches_single_device(self):
+        import jax
+        from ezaudio_tpu.api.controlnet import EzAudioControlNet
+        from ezaudio_tpu.api.ezaudio import EzAudio
+        from ezaudio_tpu.parallel.mesh import make_mesh
+        from tests.tiny_config import TINY_T5, TINY_SR, TINY_VAE_CONFIG
+
+        cfg = self._cfg()
+        ref = (0.5 * np.sin(2 * np.pi * 55 * np.arange(2 * TINY_SR) / TINY_SR)
+               ).astype(np.float32)
+        kw = dict(ddim_steps=3, random_seed=0)
+        solo = EzAudioControlNet(config=cfg, t5_config=TINY_T5,
+                                 vae_config=TINY_VAE_CONFIG)
+        _, w_solo = solo.generate_audio("a tone", ref, **kw)
+
+        mesh = make_mesh(dp=2, devices=jax.devices("cpu")[:2])
+        base = EzAudio(config=cfg, t5_config=TINY_T5,
+                       vae_config=TINY_VAE_CONFIG, mesh=mesh)
+        cn = EzAudioControlNet(base=base)
+        _, w_mesh = cn.generate_audio("a tone", ref, **kw)
+        np.testing.assert_allclose(w_mesh, w_solo, atol=1e-5)
