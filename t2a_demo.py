@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--guidance-rescale", type=float, default=0.75)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="the quality-validated fast recipe (BASELINE.md): "
+                    "DPM-Solver++-25 + layer_cache(2,2) + chunked-bf16 "
+                    "attention + int8 linears + guidance_interval(300,800)")
     args = ap.parse_args()
 
     from ezaudio_tpu.api.ezaudio import EzAudio
@@ -37,10 +41,17 @@ def main():
                  vae_path=args.vae, t5_path=args.t5,
                  tokenizer_path=args.tokenizer,
                  dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    recipe = {}
+    if args.fast:
+        recipe = dict(sampler="dpm", ddim_steps=25, layer_cache=(2, 2),
+                      attn_impl="chunked_bf16", quant="int8",
+                      guidance_interval=(300, 800))
+        recipe["ddim_steps"] = min(recipe["ddim_steps"], args.steps)
     sr, wav = ez.generate_audio(
-        args.prompt, length=args.length, ddim_steps=args.steps,
+        args.prompt, length=args.length,
         guidance_scale=args.guidance_scale,
-        guidance_rescale=args.guidance_rescale, random_seed=args.seed)
+        guidance_rescale=args.guidance_rescale, random_seed=args.seed,
+        **{"ddim_steps": args.steps, **recipe})
     save_wav(args.out, wav, sr)
     print(f"wrote {args.out} ({len(wav) / sr:.1f}s @ {sr} Hz)")
 
