@@ -66,7 +66,7 @@ class GenerationServer:
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
         fused: bool = False,  # single-dispatch pipeline (api fused=True)
-        controlnet=None,  # EzAudioControlNet sharing this ez as its base
+        controlnet=None,  # EzAudioControlNet(base=ez) — share ez's params
         clap_scorer=None,  # CLAPScorer enabling submit_reranked
     ):
         if sampler == "distilled" and (layer_cache is not None
