@@ -39,7 +39,36 @@ jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _probe_device_or_die():
+    """The axon TPU tunnel can go down for hours, during which ANY dispatch
+    hangs with no error (CLAUDE.md, observed 2026-08-18).  A hung bench
+    leaves the driver with no artifact at all — probe the first dispatch
+    under a watchdog and emit a parsable JSON error line instead.
+    EZAUDIO_BENCH_WATCHDOG_S sets the budget (default 180 s, generous vs
+    the ~10-30 s healthy backend init; 0 disables)."""
+    budget = float(os.environ.get("EZAUDIO_BENCH_WATCHDOG_S", "180"))
+    if budget <= 0:
+        return
+    import threading
+
+    def _die():
+        print(json.dumps({
+            "metric": "s3_xl t2a throughput (bench aborted)",
+            "value": 0.0, "unit": "audio-sec/sec/chip", "vs_baseline": 0.0,
+            "error": f"device unresponsive: first dispatch did not complete "
+                     f"within {budget:.0f}s (axon tunnel outage pattern)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, _die)
+    t.daemon = True
+    t.start()
+    np.asarray(jax.jit(lambda a: a * 2)(jnp.ones(4)))
+    t.cancel()
+
+
 def main():
+    _probe_device_or_die()
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     ddim_steps = int(os.environ.get("BENCH_STEPS", "100"))
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
