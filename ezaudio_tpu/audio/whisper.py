@@ -15,7 +15,11 @@ capabilities as a standalone wrapper class:
   Whisper, and production passes a downloaded snapshot directory.
 
 Torch-side on purpose: this is offline analysis tooling (caption QA,
-dataset filtering), not the TPU compute path.
+dataset filtering), not the TPU compute path.  For an on-device (TPU)
+Whisper — native flax encoder/decoder, jitted log-mel front-end and a
+single-scan greedy decoder with the same HF checkpoint contract — see
+``ezaudio_tpu.models.whisper.WhisperTranscriber`` (duck-types as the
+``wrapper`` argument of the ``AudioSignal.get_whisper_*`` methods).
 """
 
 from __future__ import annotations
