@@ -149,14 +149,13 @@ class _Attention(nn.Module):
         return nn.Dense(d, name="out_proj", dtype=self.dtype)(out)
 
 
-class _FFN(nn.Module):
-    ffn_dim: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        h = _gelu(nn.Dense(self.ffn_dim, name="fc1", dtype=self.dtype)(x))
-        return nn.Dense(x.shape[-1], name="fc2", dtype=self.dtype)(h)
+def _ffn(x, ffn_dim: int, dtype):
+    """fc1 -> gelu -> fc2.  Called from inside a layer's @nn.compact, so
+    the Dense params scope directly onto that layer (layers_i/fc1) —
+    matching the HF layout the converter emits; wrapping this in a named
+    submodule would nest them under an extra scope and break loading."""
+    h = _gelu(nn.Dense(ffn_dim, name="fc1", dtype=dtype)(x))
+    return nn.Dense(x.shape[-1], name="fc2", dtype=dtype)(h)
 
 
 class _EncoderLayer(nn.Module):
@@ -165,11 +164,11 @@ class _EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(name="self_attn_layer_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm", dtype=self.dtype)(x)
         x = x + _Attention(self.cfg.encoder_attention_heads, self.dtype,
                            name="self_attn")(h)
-        h = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(x)
-        return x + _FFN(self.cfg.encoder_ffn_dim, self.dtype)(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm", dtype=self.dtype)(x)
+        return x + _ffn(h, self.cfg.encoder_ffn_dim, self.dtype)
 
 
 class WhisperEncoder(nn.Module):
@@ -191,7 +190,7 @@ class WhisperEncoder(nn.Module):
         x = x + pos[None, : x.shape[1]].astype(x.dtype)
         for i in range(c.encoder_layers):
             x = _EncoderLayer(c, self.dtype, name=f"layers_{i}")(x)
-        return nn.LayerNorm(name="layer_norm", dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm", dtype=self.dtype)(x)
 
 
 def _sinusoid_init(length: int, channels: int):
@@ -215,14 +214,14 @@ class _DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc, causal_bias):
-        h = nn.LayerNorm(name="self_attn_layer_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm", dtype=self.dtype)(x)
         x = x + _Attention(self.cfg.decoder_attention_heads, self.dtype,
                            name="self_attn")(h, mask_bias=causal_bias)
-        h = nn.LayerNorm(name="encoder_attn_layer_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="encoder_attn_layer_norm", dtype=self.dtype)(x)
         x = x + _Attention(self.cfg.decoder_attention_heads, self.dtype,
                            name="encoder_attn")(h, kv=enc)
-        h = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(x)
-        return x + _FFN(self.cfg.decoder_ffn_dim, self.dtype)(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm", dtype=self.dtype)(x)
+        return x + _ffn(h, self.cfg.decoder_ffn_dim, self.dtype)
 
 
 class WhisperDecoder(nn.Module):
@@ -246,7 +245,7 @@ class WhisperDecoder(nn.Module):
         for i in range(c.decoder_layers):
             x = _DecoderLayer(c, self.dtype, name=f"layers_{i}")(
                 x, enc, causal)
-        x = nn.LayerNorm(name="layer_norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm", dtype=self.dtype)(x)
         # proj_out is weight-tied to embed_tokens (HF ties them too)
         return jnp.einsum("bld,vd->blv", x, embed.astype(x.dtype))
 
@@ -279,8 +278,11 @@ def convert_whisper_state_dict(sd: Dict[str, Any],
     """transformers WhisperForConditionalGeneration state dict -> flax params
     for ``WhisperModel`` (load contract mirrored from the reference mixin's
     ``from_pretrained`` at /root/reference/audiotools/core/whisper.py:16-21)."""
-    t = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
-                       else v) for k, v in sd.items()}
+    # jnp leaves, not numpy: numpy params break tracing (np fancy-indexing
+    # with a traced token buffer calls tracer.__array__ in embed[tokens])
+    t = {k: jnp.asarray(np.asarray(v.detach().cpu().numpy()
+                                   if hasattr(v, "detach") else v))
+         for k, v in sd.items()}
 
     def lin(key, bias=True):
         out = {"kernel": t[f"{key}.weight"].T}
