@@ -4,9 +4,14 @@ Equivalent of reference ``audiotools/metrics/quality.py``:
   * ``stoi`` — a native implementation of the Short-Time Objective
     Intelligibility measure (Taal et al. 2010): 1/3-octave band envelope
     correlation over 384 ms analysis windows with clipping;
-  * ``pesq`` / ``visqol`` — the reference shells out to external packages
-    (pesq, visqol) that are not in this image; these raise with a clear
-    gating message, matching the optional-dependency behavior.
+  * ``pesq`` — a native implementation of the ITU-T P.862 structure
+    (level align, time align, Bark-band loudness, asymmetric disturbance
+    aggregation → MOS map) defined below; order-conformant on standard
+    degradations (tests/test_quality_conformance.py) though not anchored
+    to the ITU reference binary's exact scores;
+  * ``nsim`` — the ViSQOL neurogram-similarity core, likewise native;
+  * ``visqol`` — the exact Google MOS mapping requires the external
+    scorer (not in this image) and raises with a clear gating message.
 """
 
 from __future__ import annotations

@@ -278,10 +278,12 @@ def convert_whisper_state_dict(sd: Dict[str, Any],
     """transformers WhisperForConditionalGeneration state dict -> flax params
     for ``WhisperModel`` (load contract mirrored from the reference mixin's
     ``from_pretrained`` at /root/reference/audiotools/core/whisper.py:16-21)."""
-    # jnp leaves, not numpy: numpy params break tracing (np fancy-indexing
-    # with a traced token buffer calls tracer.__array__ in embed[tokens])
-    t = {k: jnp.asarray(np.asarray(v.detach().cpu().numpy()
-                                   if hasattr(v, "detach") else v))
+    # Stay in numpy while assembling (checkpoints carry unused keys like
+    # proj_out.weight, and on the axon platform each per-tensor jnp.asarray
+    # would be a separate ~70 ms tunnel dispatch); the assembled tree is
+    # placed on device once at the end.
+    t = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                       else v)
          for k, v in sd.items()}
 
     def lin(key, bias=True):
@@ -334,7 +336,10 @@ def convert_whisper_state_dict(sd: Dict[str, Any],
             "fc1": lin(f"{p}.fc1"), "fc2": lin(f"{p}.fc2"),
             "final_layer_norm": ln(f"{p}.final_layer_norm"),
         }
-    return {"encoder": enc, "decoder": dec}
+    # jnp leaves, not numpy: numpy params break tracing (np fancy-indexing
+    # with a traced token buffer calls tracer.__array__ in embed[tokens]).
+    # One tree-wide placement = one batched transfer, no unused tensors.
+    return jax.tree.map(jnp.asarray, {"encoder": enc, "decoder": dec})
 
 
 # ---------------------------------------------------------------------------

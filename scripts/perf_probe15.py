@@ -9,6 +9,10 @@ probe measures audio-s/s/chip for the EXACT bench fast recipe (DPM-25 +
 layer_cache(2,2) + chunked_bf16 + int8 + gi(300,800)) at batch 4/8/16 in
 ONE session, so the ratios are tunnel-variance-free.
 
+Single-chip only by construction: EzAudio is built with mesh=None, so
+per-chip == total; if a BENCH_CHIPS-style mesh is ever added here, divide
+throughput by mesh.size like bench.py does.
+
 Run ON the TPU: python scripts/perf_probe15.py
 """
 
