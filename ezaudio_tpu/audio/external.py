@@ -1,11 +1,13 @@
-"""Gated seams for external-binary/weight audio utilities.
+"""External-binary audio seams, now mostly native.
 
 The reference's audiotools carries mixins that shell out to external
 resources: ffmpeg (ffmpeg.py:87-204: loudness/resample/load of non-wav
 formats), Whisper transcription (whisper.py), and IPython/gradio playback.
-None of those binaries/weights exist in this environment; these functions
-keep the seams explicit with actionable errors, and provide pure-Python
-fallbacks where one exists.
+In this build all three are native: non-wav decode goes through the
+in-process libavcodec bridge (native/ezaudio_codec.cpp), transcription
+through the flax Whisper (models/whisper.py), playback through
+audio/playback.py.  ``ffmpeg_load`` keeps the CLI as a secondary path for
+environments that have the binary but not the libraries.
 """
 
 from __future__ import annotations
@@ -22,8 +24,18 @@ def ffmpeg_available() -> bool:
 
 
 def ffmpeg_load(path: str, sr: Optional[int] = None) -> tuple:
-    """Decode any ffmpeg-supported format -> (float32 mono, sr).  Falls back
-    to the native wav path when ffmpeg is absent and the file is a wav."""
+    """Decode any supported format -> (float32 mono, sr).
+
+    Preference order: the in-process libavcodec bridge
+    (native/ezaudio_codec.cpp — same codecs the ffmpeg CLI wraps, without
+    the per-file fork the reference pays in ffmpeg.py:87-204), then the
+    ffmpeg binary if one exists, then the native wav path for wavs."""
+    from ezaudio_tpu.data import codec_loader
+
+    if codec_loader.available() and not path.lower().endswith(".wav"):
+        from ezaudio_tpu.data.audio_io import load_wav
+
+        return load_wav(path, sr=sr)
     if ffmpeg_available():
         cmd = ["ffmpeg", "-i", path, "-f", "f32le", "-ac", "1"]
         if sr:
@@ -37,8 +49,9 @@ def ffmpeg_load(path: str, sr: Optional[int] = None) -> tuple:
 
         return load_wav(path, sr=sr)
     raise ImportError(
-        f"Decoding {path} requires ffmpeg, which is not installed in this "
-        "environment; only .wav is supported natively.")
+        f"Decoding {path} requires the native codec bridge (libavformat/"
+        "libavcodec + g++) or an ffmpeg binary; neither is available, so "
+        "only .wav is supported.")
 
 
 def _probe_sr(path: str) -> int:

@@ -215,7 +215,9 @@ class AudioSignal:
 
     # ------------------------------------------------------------------
     def write(self, path: str) -> "AudioSignal":
-        save_wav(path, self.audio_data[0].T, self.sample_rate)
+        from ezaudio_tpu.data.audio_io import save_audio
+
+        save_audio(path, self.audio_data[0].T, self.sample_rate)
         return self
 
     # ------------------------------------------------------------------

@@ -125,6 +125,36 @@ class TestControlNetEndToEnd:
         assert wav.shape == ref.shape
         assert np.isfinite(wav).all()
 
+    def test_generate_from_reference_mp3_asset(self):
+        """The reference's OWN ControlNet demo input (egs/reference.mp3,
+        /root/reference/controlnet_demo.py:12) must drive generation
+        end-to-end — mp3 decode (native codec bridge) -> resample ->
+        energy conditioning -> sampling, same path as controlnet_demo.py
+        --ref reference.mp3."""
+        import os
+
+        from ezaudio_tpu.api.controlnet import EzAudioControlNet
+        from ezaudio_tpu.data import codec_loader
+        from tests.tiny_config import TINY_CONFIG, TINY_T5, TINY_SR, TINY_VAE_CONFIG
+
+        path = "/root/reference/egs/reference.mp3"
+        if not (os.path.exists(path) and codec_loader.available()):
+            pytest.skip("reference asset or codec bridge unavailable")
+        cfg = dict(TINY_CONFIG)
+        cfg["controlnet"] = dict(cond_in=1, cond_blocks=[8, 16], cond_mask=True,
+                                 cond_mask_prob=0.25, cond_mask_ratio=[0.25, 0.5],
+                                 cond_mask_span=4)
+        cfg["conditioner"] = dict(condition_type="energy", hop_size=8,
+                                  window_size=64, padding="reflect",
+                                  min_db=-60, norm=True)
+        ez = EzAudioControlNet(config=cfg, t5_config=TINY_T5,
+                               vae_config=TINY_VAE_CONFIG)
+        sr, wav = ez.generate_audio("a dog barking", path, ddim_steps=3,
+                                    random_seed=0)
+        assert sr == TINY_SR
+        assert np.isfinite(wav).all()
+        assert float(np.abs(wav).max()) > 0
+
     def test_generate_with_int8_quant(self, monkeypatch):
         """ControlNet path under quant='int8' (threshold lowered so the
         tiny linears quantize): finite and close to the float output."""
