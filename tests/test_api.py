@@ -354,9 +354,11 @@ class TestMeshAPI:
         np.testing.assert_allclose(wm, ws, atol=1e-5)
 
 
+@pytest.mark.heavy
 class TestFusedPath:
     """The single-dispatch fused program (T5 -> sampler -> VAE in one jit)
-    must be sample-exact vs the staged path for every recipe knob."""
+    must be sample-exact vs the staged path for every recipe knob.
+    ``heavy``: each recipe compiles a full fused pipeline program."""
 
     RECIPES = [
         dict(ddim_steps=4, random_seed=3),                       # ddim+CFG

@@ -18,6 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the suite's dominant wall-clock cost (~12 min warm, far more cold):
+# flagship-shape SPMD compiles. Core tier skips it: pytest -m "not heavy"
+pytestmark = pytest.mark.heavy
+
 from ezaudio_tpu.config import get_model_config
 from ezaudio_tpu.diffusion.ddim import DDIMSchedule
 from ezaudio_tpu.diffusion.sampling import sample_latents
