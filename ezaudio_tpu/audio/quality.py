@@ -127,6 +127,54 @@ def _abs_threshold_db(f_hz):
             + 1e-3 * f ** 4)
 
 
+def synthetic_speech(duration_s: float = 4.0, fs: int = 8000,
+                     seed: int = 0) -> np.ndarray:
+    """Deterministic speech-like test signal for metric calibration:
+    pitch-modulated pulse-train excitation through a slowly-varying
+    two-formant resonator, with syllabic amplitude modulation and pauses
+    (P.862 operates on speech; no speech corpus ships in this image).
+    This is THE calibration signal family for PESQ_CAL below — the
+    score-level conformance rows (tests/test_quality_conformance.py) and
+    scripts/calibrate_pesq_mnru.py must use the same family, degraded by
+    ezaudio_tpu.audio.effects.mnru (ITU-T P.810)."""
+    rng = np.random.default_rng(seed)
+    n = int(duration_s * fs)
+    t = np.arange(n) / fs
+    # glottal excitation: F0 drifts 90-160 Hz
+    f0 = 120.0 + 30.0 * np.sin(2 * np.pi * 0.31 * t + rng.uniform(0, 6))
+    phase = np.cumsum(f0) / fs
+    exc = ((phase % 1.0) < 0.1).astype(np.float64)  # pulse train
+    exc += 0.02 * rng.standard_normal(n)  # aspiration
+    # two formants wandering over vowel space
+    out = np.zeros(n)
+    seg = int(0.25 * fs)
+    b1 = np.zeros(2)
+    b2 = np.zeros(2)
+    for s in range(0, n, seg):
+        F1 = rng.uniform(300, 800)
+        F2 = rng.uniform(900, 2200)
+        e = exc[s : s + seg]
+        y = e
+        for F, bw, state in ((F1, 80.0, b1), (F2, 120.0, b2)):
+            r = np.exp(-np.pi * bw / fs)
+            a1 = 2 * r * np.cos(2 * np.pi * F / fs)
+            a2 = -r * r
+            z = np.empty_like(y)
+            p1, p2 = state
+            for i in range(len(y)):
+                v = y[i] + a1 * p1 + a2 * p2
+                z[i] = v
+                p2, p1 = p1, v
+            state[0], state[1] = p1, p2
+            y = z
+        out[s : s + seg] = y
+    # syllabic envelope (~4 Hz) with pauses
+    env = np.clip(np.sin(2 * np.pi * 3.7 * t + 1.0), 0.0, None) ** 0.5
+    env *= (np.sin(2 * np.pi * 0.43 * t) > -0.7)  # occasional silence
+    out = out * env
+    return (0.3 * out / (np.abs(out).max() + 1e-12)).astype(np.float64)
+
+
 def _pesq_frames(x, n_frame):
     hop = n_frame // 2
     n = 1 + max(0, (len(x) - n_frame)) // hop
@@ -156,7 +204,7 @@ def _align(ref, deg):
 
 
 def pesq(estimate: np.ndarray, reference: np.ndarray, fs: int,
-         mode: str = "nb") -> float:
+         mode: str = "nb", _components: bool = False) -> float:
     """Perceptual speech quality following the ITU-T P.862 algorithm
     structure, in pure numpy.
 
@@ -280,8 +328,28 @@ def pesq(estimate: np.ndarray, reference: np.ndarray, fs: int,
     d_s = agg(d, 3.0)
     d_a = agg(d_asym, 1.0)
 
-    raw = 4.5 - 0.1 * d_s - 0.0309 * d_a
+    drop = 0.1 * d_s + 0.0309 * d_a  # the published inner weights
+    raw = 4.5 - PESQ_CAL[0] * drop ** PESQ_CAL[1]
+    if _components:
+        return float(np.clip(raw, -0.5, 4.5)), float(d_s), float(d_a)
     return float(np.clip(raw, -0.5, 4.5))
+
+
+# MNRU score-level calibration (VERDICT r3 item 7).  P.862's published MOS
+# map (4.5 - 0.1 d_s - 0.0309 d_a) assumes the ITU 42-band tabulated
+# perceptual model; ours uses analytic Bark/threshold forms, so the raw
+# combined disturbance sits on a compressed scale.  (alpha, beta) below
+# recalibrate the published drop by a power law, fitted in
+# scripts/calibrate_pesq_mnru.py so that MNRU-degraded synthetic speech
+# (ITU-T P.810, mnru() above) reproduces the published approximately-
+# linear P.862 MNRU characteristic — slope ~0.1 MOS/dB crossing ~2.9 at
+# Q=25 dB over Q in [10, 35] (reconstructed from the P.862 literature;
+# the exact ITU conformance tables are not distributable and absent from
+# this image).  Fit residual: worst 0.18 MOS over Q in {10..35};
+# documented tolerance +-0.35 MOS.  Score-level conformance rows:
+# tests/test_quality_conformance.py.  Monotone transform: all order-level
+# conformance properties are unchanged.
+PESQ_CAL = (2.3227, 0.9571)
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,10 @@ CHUNK = int(E("MID_EVAL_CHUNK", "32"))
 RUN_FLOW = E("MID_FLOW", "1") == "1"
 RUN_DISTILL = E("MID_DISTILL", "1") == "1"
 DISTILL_STEPS = int(E("MID_DISTILL_STEPS", "1500"))
+# flagship-geometry knobs (VERDICT r3 item 2: depth 24 / dim 1024 needs
+# per-block remat to fit training activations, and a gentler lr)
+REMAT = E("MID_REMAT", "1" if DEPTH >= 16 else "0") == "1"
+LR = float(E("MID_LR", "2e-4"))
 
 Lc, D = 4, 64
 N_CLASS = 4
@@ -203,7 +207,7 @@ def main():  # noqa: C901 — linear experiment script
         input_type="1d", embed_dim=DIM, depth=DEPTH, num_heads=HEADS,
         mlp_ratio=4.0, qkv_bias=False, qk_scale=None, qk_norm="layernorm",
         norm_layer="layernorm", act_layer="geglu", context_norm=True,
-        use_checkpoint=False, time_fusion="ada_sola_bias",
+        use_checkpoint=REMAT, time_fusion="ada_sola_bias",
         ada_sola_rank=32, ada_sola_alpha=32, cls_dim=None,
         context_dim=D, context_fusion="cross", context_max_length=None,
         context_pe_method="none", pe_method="none", rope_mode="shared",
@@ -231,7 +235,7 @@ def main():  # noqa: C901 — linear experiment script
                         jnp.zeros((1, FRAMES, C)),
                         jnp.zeros((1,), jnp.int32),
                         jnp.zeros((1, 1, D)))["params"]
-        tx = make_optimizer(p0, learning_rate=2e-4, warmup=200)
+        tx = make_optimizer(p0, learning_rate=LR, warmup=200)
         if loss_kind == "diffusion":
             step = make_train_step(model, schedule, tx, cfg_dropout=0.1)
         else:

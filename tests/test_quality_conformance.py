@@ -91,6 +91,25 @@ class TestPESQConformance:
         assert scores[0] < 2.8, scores       # Q=5 dB is a severe condition
         assert scores[-1] > 3.5, scores      # Q=35 dB is near-transparent
 
+    def test_mnru_score_level_anchoring(self):
+        """Score-LEVEL conformance (VERDICT r3 item 7): on the calibration
+        signal family (quality.synthetic_speech, P.810 MNRU), pesq must
+        land within +-0.35 MOS of the published P.862 MNRU characteristic
+        (~0.1 MOS/dB, ~2.9 @ Q=25; reconstructed from the P.862
+        literature — see PESQ_CAL provenance in audio/quality.py).
+        Held-out check: refs (seeds 4-9) and noise seeds DIFFER from the
+        ones the constants were fitted on (seeds 0-3,
+        scripts/calibrate_pesq_mnru.py).  The bound applies to the
+        FAMILY MEAN — per-reference spread is ~0.15-0.35 MOS std, the
+        same order as real PESQ's per-material spread on MNRU."""
+        from ezaudio_tpu.audio.quality import synthetic_speech
+
+        refs = [synthetic_speech(4.0, FS, seed=s) for s in range(4, 10)]
+        for q, anchor in ((10, 1.45), (15, 1.94), (25, 2.93), (35, 3.91)):
+            mos = np.mean([pesq(mnru(r, q, seed=500 + i), r, FS)
+                           for i, r in enumerate(refs)])
+            assert abs(mos - anchor) < 0.35, (q, mos, anchor)
+
     def test_noise_snr_monotone(self, ref):
         snrs = [0, 10, 20, 30, 40]
         scores = [pesq(add_noise_snr(ref, s), ref, FS) for s in snrs]

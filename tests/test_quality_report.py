@@ -104,12 +104,15 @@ class TestPESQ:
         rng = np.random.default_rng(0)
         x = self._speechlike()
         scores = []
-        for snr in (40, 20, 10, 0):
+        # post r4 MNRU anchoring (quality.py PESQ_CAL) the scale matches
+        # the published characteristic: harsh conditions reach the -0.5
+        # floor, so stay above it to keep strict monotonicity meaningful
+        for snr in (40, 30, 20, 10):
             nz = rng.standard_normal(x.size)
             nz *= np.sqrt((x ** 2).mean() / (nz ** 2).mean()) * 10 ** (-snr / 20)
             scores.append(pesq(x + nz, x, 16000))
         assert all(a > b for a, b in zip(scores, scores[1:])), scores
-        assert scores[0] > 3.5 and scores[-1] < 1.5, scores
+        assert scores[0] > 3.2 and scores[-1] < 1.0, scores
 
     def test_delay_and_level_invariance(self):
         from ezaudio_tpu.audio.quality import pesq
