@@ -159,12 +159,16 @@ def make_codec_train_steps(
 
 
 def init_codec_train_state(codec, disc, gen_tx, disc_tx, key,
-                           example_audio) -> CodecTrainState:
+                           example_audio,
+                           gen_params=None) -> CodecTrainState:
+    """``gen_params`` warm-starts the generator from an existing tree
+    (e.g. fine-tuning a converted checkpoint or a facade's live params)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    gen_vars = codec.init({"params": k1, "sample": k1, "dropout": k1},
-                          example_audio)
+    if gen_params is None:
+        gen_params = codec.init({"params": k1, "sample": k1, "dropout": k1},
+                                example_audio)["params"]
     disc_vars = disc.init(k2, example_audio)
-    gp, dp = gen_vars["params"], disc_vars["params"]
+    gp, dp = gen_params, disc_vars["params"]
     return CodecTrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gp, gen_opt=gen_tx.init(gp),

@@ -229,7 +229,27 @@ def main():  # noqa: C901 — linear experiment script
     print(f"mid MaskDiT: {n_params/1e6:.1f}M params", flush=True)
 
     def train(loss_kind: str, steps: int, seed: int):
-        """Train a fresh model copy; loss_kind 'diffusion' | 'flow'."""
+        """Train a fresh model copy; loss_kind 'diffusion' | 'flow'.
+
+        Results are disk-cached keyed by the full deterministic recipe
+        (geometry + steps + seed + lr + data sizes + backend), so a
+        second invocation with a different MID_ROWS subset — or a rerun
+        after a session death — reuses the trained teacher instead of
+        paying the full retrain (flagship depth-24 costs ~19 min).
+        MID_CACHE=0 disables."""
+        cache_key = (f"{loss_kind}_d{DEPTH}_w{DIM}_h{HEADS}_L{FRAMES}"
+                     f"_s{steps}_b{BATCH}_n{N_TRAIN}_lr{LR:g}_seed{seed}"
+                     f"_{jax.default_backend()}")
+        cache_dir = os.path.join(E("MID_CACHE_DIR", "/tmp/qv_cache"),
+                                 cache_key)
+        use_cache = E("MID_CACHE", "1") == "1"
+        npz = os.path.join(cache_dir, "params.npz")
+        if use_cache and os.path.exists(npz):
+            from scripts.mid_common import _load_params
+            params, _ = _load_params(cache_dir)
+            print(f"  [{loss_kind}] reusing cached params: {cache_dir}",
+                  flush=True)
+            return jax.tree.map(jnp.asarray, params)
         p0 = model.init({"params": jax.random.PRNGKey(seed),
                          "mask": jax.random.PRNGKey(seed)},
                         jnp.zeros((1, FRAMES, C)),
@@ -290,6 +310,11 @@ def main():  # noqa: C901 — linear experiment script
                 print(f"  [{loss_kind}] step {i}: "
                       f"loss {float(metrics['loss']):.4f} "
                       f"({time.time()-t1:.0f}s)", flush=True)
+        if use_cache:
+            from scripts.mid_common import _save_params
+            _save_params(cache_dir, jax.device_get(state.params),
+                         {"key": cache_key, "steps": steps})
+            print(f"  [{loss_kind}] cached: {cache_dir}", flush=True)
         return state.params
 
     diff_params = train("diffusion", TRAIN_STEPS, seed=0)
