@@ -7,8 +7,10 @@ Equivalent of reference ``audiotools/metrics/quality.py``:
   * ``pesq`` — a native implementation of the ITU-T P.862 structure
     (level align, time align, Bark-band loudness, asymmetric disturbance
     aggregation → MOS map) defined below; order-conformant on standard
-    degradations (tests/test_quality_conformance.py) though not anchored
-    to the ITU reference binary's exact scores;
+    degradations AND score-level anchored to the published P.862 MNRU
+    characteristic via ``PESQ_CAL`` (fit residual ≤0.18 MOS, held-out
+    family means within ±0.35 MOS — tests/test_quality_conformance.py,
+    scripts/calibrate_pesq_mnru.py);
   * ``nsim`` — the ViSQOL neurogram-similarity core, likewise native;
   * ``visqol`` — the exact Google MOS mapping requires the external
     scorer (not in this image) and raises with a clear gating message.
