@@ -45,16 +45,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-if os.environ.get("MID_CPU") == "1":
-    # the axon sitecustomize force-overrides JAX_PLATFORMS; the config
-    # knob wins (CLAUDE.md) — CPU smoke runs must not touch the shared TPU
-    jax.config.update("jax_platforms", "cpu")
-else:
-    _cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if __name__ == "__main__":
+    # Platform/cache side effects ONLY when run as a script: importers
+    # (mid_common, the edit/controlnet and distill-serve harnesses) pull
+    # synth_clip/features/latent_class from here and configure jax
+    # themselves — a module-level `else` branch used to point their CPU
+    # smokes at the repo-root TPU compile cache (cross-VM AOT mismatch).
+    if os.environ.get("MID_CPU") == "1":
+        # the axon sitecustomize force-overrides JAX_PLATFORMS; the config
+        # knob wins (CLAUDE.md) — CPU smokes must not touch the shared TPU
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        _cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 E = os.environ.get
 DEPTH = int(E("MID_DEPTH", "12"))
