@@ -173,6 +173,10 @@ def main():
     gi_override = (None if gi_env in (None, "", "off", "0")
                    else tuple(float(x) for x in gi_env.split(",")))
     gi_fast = (300.0, 800.0) if gi_env is None else gi_override
+    # BENCH_CFG_REFRESH=P: recompute the uncond CFG branch only every
+    # P-th in-band cache group, delta-reuse between (diffusion/dpm.py
+    # cfg_refresh_interval).  Composes into the fast recipe only.
+    cfg_refresh = int(os.environ.get("BENCH_CFG_REFRESH", "1"))
 
     from ezaudio_tpu.api.ezaudio import EzAudio
     from ezaudio_tpu.text.t5 import T5EncoderConfig
@@ -252,7 +256,7 @@ def main():
     #    env already pins a non-default recipe.
     t_fast = (measure(ddim_steps=25, sampler="dpm", layer_cache=(2, 2),
                       attn_impl="chunked_bf16", quant="int8",
-                      guidance_interval=gi_fast)
+                      guidance_interval=gi_fast, cfg_refresh=cfg_refresh)
               if default_recipe else t_ref)
 
     # optional (BENCH_DISTILLED=1): the 4-call distilled-student recipe —
@@ -268,7 +272,9 @@ def main():
     result = {
         "metric": (f"{model_name} t2a throughput, quality-validated fast "
                    f"recipe (DPM-25 + layer_cache(2,2) + chunked_bf16 attn "
-                   f"+ int8{f' + gi{gi_fast}' if gi_fast else ''}, batch {batch})"
+                   f"+ int8{f' + gi{gi_fast}' if gi_fast else ''}"
+                   f"{f' + cfg_refresh({cfg_refresh})' if cfg_refresh != 1 else ''}"
+                   f", batch {batch})"
                    if default_recipe else ref_default["metric"]),
         "value": round(value, 3),
         "unit": "audio-sec/sec/chip",

@@ -247,7 +247,8 @@ class EzAudio:
     # ------------------------------------------------------------------
     def _denoise_body(self, steps: int, guidance_scale, guidance_rescale,
                       eta, use_gt: bool, guidance_interval=None,
-                      sampler: str = "ddim", layer_cache=None):
+                      sampler: str = "ddim", layer_cache=None,
+                      cfg_refresh: int = 1):
         """Pure denoising program (no jit, no trace-time contexts):
         (dit_params, noise, ctx, cmask, gt, gt_mask, key) -> latents.
         Shared by the standalone sampler jit and the fused
@@ -296,7 +297,8 @@ class EzAudio:
                         guidance_rescale=guidance_rescale,
                         layer_cache_fns=(model_full, model_cached),
                         cache_interval=int(interval),
-                        guidance_interval=guidance_interval)
+                        guidance_interval=guidance_interval,
+                        cfg_refresh_interval=int(cfg_refresh))
                 return sample_latents_layer_cached(
                     model_full, model_cached, schedule, noise, key, steps,
                     cache_interval=int(interval),
@@ -311,7 +313,8 @@ class EzAudio:
                     model_fn, schedule, noise, steps,
                     guidance_scale=guidance_scale,
                     guidance_rescale=guidance_rescale,
-                    guidance_interval=guidance_interval)
+                    guidance_interval=guidance_interval,
+                    cfg_refresh_interval=int(cfg_refresh))
             if sampler == "distilled":
                 # serving path for progressively-distilled students
                 # (diffusion/distill.py): DDIM on the student's grid, no
@@ -335,11 +338,11 @@ class EzAudio:
     def _sampler_impl(self, steps: int, guidance_scale, guidance_rescale, eta,
                  use_gt: bool, guidance_interval=None, sampler: str = "ddim",
                  quant: Optional[str] = None, layer_cache=None,
-                 attn_impl: Optional[str] = None):
+                 attn_impl: Optional[str] = None, cfg_refresh: int = 1):
         """Compile (and cache) the full denoising program for a signature."""
         _run = jax.jit(self._denoise_body(
             steps, guidance_scale, guidance_rescale, eta, use_gt,
-            guidance_interval, sampler, layer_cache))
+            guidance_interval, sampler, layer_cache, cfg_refresh))
 
         def run(*args):
             # quant_context / attention_impl_context are trace-time state:
@@ -361,7 +364,7 @@ class EzAudio:
                     quant: Optional[str], layer_cache,
                     attn_impl: Optional[str],
                     B: int, Bp: int, frames: int, draw_noise: bool,
-                    cfg: bool, chunk: int):
+                    cfg: bool, chunk: int, cfg_refresh: int = 1):
         """Compile (and cache) the SINGLE-DISPATCH text->waveform program.
 
         One jit covers T5 encode -> CFG concat -> (optional in-graph
@@ -375,7 +378,7 @@ class EzAudio:
         order (equality-tested in tests/test_api.py)."""
         body = self._denoise_body(steps, guidance_scale, guidance_rescale,
                                   eta, False, guidance_interval, sampler,
-                                  layer_cache)
+                                  layer_cache, cfg_refresh)
         t5 = self.t5
         dtype = self.dtype
         latent_dim = self.latent_dim
@@ -439,7 +442,7 @@ class EzAudio:
     def _generate_fused(self, texts, frames, guidance_scale,
                         guidance_rescale, ddim_steps, eta, random_seed,
                         guidance_interval, sampler, initial_latents,
-                        quant, layer_cache, attn_impl):
+                        quant, layer_cache, attn_impl, cfg_refresh=1):
         """Host wrapper for the fused program: tokenize, pad to the dp
         world, look up/compile the program, one dispatch, trim."""
         B = len(texts)
@@ -477,7 +480,8 @@ class EzAudio:
                           else None,
                           sampler, quant,
                           tuple(layer_cache) if layer_cache else None,
-                          attn_impl, B, Bp, frames, draw_noise, cfg, chunk)
+                          attn_impl, B, Bp, frames, draw_noise, cfg, chunk,
+                          int(cfg_refresh))
         wav = run(self.dit_params, self.t5_params, self.autoencoder.params,
                   ids, mask, un_emb, un_mask, noise,
                   jnp.uint32(random_seed))
@@ -489,6 +493,7 @@ class EzAudio:
         guidance_scale, guidance_rescale, ddim_steps, eta, random_seed,
         gt=None, gt_mask=None, guidance_interval=None, sampler="ddim",
         initial_latents=None, quant=None, layer_cache=None, attn_impl=None,
+        cfg_refresh=1,
     ):
         B = len(texts)
         if random_seed is None:
@@ -543,7 +548,7 @@ class EzAudio:
                             tuple(guidance_interval) if guidance_interval else None,
                             sampler, quant,
                             tuple(layer_cache) if layer_cache else None,
-                            attn_impl)
+                            attn_impl, int(cfg_refresh))
         latents = run(self.dit_params, noise, ctx, cmask, gt, gt_mask, k_steps)
         return latents[:B] if pad_n else latents
 
@@ -565,8 +570,15 @@ class EzAudio:
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
         fused: bool = False,
+        cfg_refresh: int = 1,
     ) -> Tuple[int, np.ndarray]:
         """Generate audio from text.  Returns (sr, waveform).
+
+        ``cfg_refresh=P`` (``sampler='dpm'`` only): recompute the uncond
+        CFG branch only every P-th in-band step — every P-th cache GROUP
+        with ``layer_cache`` — and guide the other steps with the carried
+        delta ``cond + (s-1)*(cond_ref - uncond_ref)`` (diffusion/dpm.py).
+        P=1 (default) is the exact CFG pair.
 
         ``fused=True``: the whole pipeline — T5 encode, CFG concat, noise
         draw, sampler scan, latent re-scale, chunked VAE decode — runs as
@@ -627,6 +639,10 @@ class EzAudio:
             assert layer_cache is None and guidance_interval is None, (
                 "sampler='distilled' does not compose with layer_cache or "
                 "guidance_interval")
+        if int(cfg_refresh) != 1 and sampler != "dpm":
+            raise ValueError(
+                "cfg_refresh > 1 is implemented for sampler='dpm' only "
+                f"(got sampler={sampler!r})")
 
         frames = int(length * self.latent_sr)
         # the fused program decodes with the raw decoder; a
@@ -641,13 +657,14 @@ class EzAudio:
             wav = self._generate_fused(
                 texts, frames, guidance_scale, guidance_rescale, ddim_steps,
                 eta, random_seed, guidance_interval, sampler,
-                initial_latents, quant, layer_cache, attn_impl)
+                initial_latents, quant, layer_cache, attn_impl, cfg_refresh)
             return self.sr, (wav if batched else wav[0])
         latents = self._generate_latents(
             texts, frames, guidance_scale, guidance_rescale, ddim_steps, eta,
             random_seed, guidance_interval=guidance_interval, sampler=sampler,
             initial_latents=initial_latents, quant=quant,
-            layer_cache=layer_cache, attn_impl=attn_impl)
+            layer_cache=layer_cache, attn_impl=attn_impl,
+            cfg_refresh=cfg_refresh)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # The x480 decoder inflates activations ~1000x vs the latent; decode
         # in sub-batches so large prompt batches never exhaust HBM.  Dispatch

@@ -71,6 +71,7 @@ def dpm_solver_sample(
     layer_cache_fns: Optional[tuple] = None,
     cache_interval: int = 1,
     guidance_interval: Optional[tuple] = None,
+    cfg_refresh_interval: int = 1,
 ) -> jnp.ndarray:
     """Deterministic DPM-Solver++(2M) sampling (the eta=0 regime).
 
@@ -92,6 +93,21 @@ def dpm_solver_sample(
     boundaries (a group mixes full+cached calls whose batch sizes must
     agree; rounding applies CFG to at most ``cache_interval - 1`` extra
     steps per band edge).  Ignored when ``guidance_scale`` is None.
+
+    ``cfg_refresh_interval=P`` (P > 1) computes the uncond branch only on
+    every P-th CFG step — with layer caching, every P-th cache GROUP —
+    and runs the other in-band steps cond-only, forming the guided
+    prediction from the carried guidance delta:
+    ``pred = cond + (s - 1) * (cond_ref - uncond_ref)``.  The CFG
+    direction varies smoothly across adjacent steps (the same property
+    guidance_interval exploits), so a one-or-two-group-stale delta is a
+    small perturbation while the uncond forward's cost drops P-fold on
+    the reused steps.  Every in-band segment STARTS with a refresh, so
+    the delta is never used before it is computed.  P=1 is exactly the
+    standard CFG pair; at ``guidance_scale=1.0`` every P is identical to
+    the unguided sampler (the delta's coefficient is zero), which the
+    tests exploit as an exactness oracle.  Out-of-band steps are
+    unchanged (cond-only, no delta).
     """
     from ezaudio_tpu.diffusion.sampling import rescale_noise_cfg
 
@@ -107,14 +123,22 @@ def dpm_solver_sample(
 
     cfg_on = guidance_scale is not None
     in_band = guidance_band(ts_np, num_steps, cfg_on, guidance_interval)
+    refresh_p = int(cfg_refresh_interval) if cfg_on else 1
+    if refresh_p < 1:
+        raise ValueError(
+            f"cfg_refresh_interval must be >= 1, got {cfg_refresh_interval}")
 
     use_cache = layer_cache_fns is not None and cache_interval > 1
     if use_cache:
         model_full, model_cached = layer_cache_fns
 
-    def predict_x0(x, i, deep=None, use_cfg=cfg_on):
+    # modes: 'pair'  — CFG pair (2B batch), recomputes the guidance delta;
+    #        'reuse' — cond-only (B batch), guided by the carried delta;
+    #        'plain' — cond-only, unguided (out-of-band / CFG off).
+    def predict_x0(x, i, deep=None, mode="plain", delta=None):
         t = ts[i]
-        batch = jnp.concatenate([x, x], axis=0) if use_cfg else x
+        pair = mode == "pair"
+        batch = jnp.concatenate([x, x], axis=0) if pair else x
         if use_cache:
             if deep is None:
                 out, new_deep = model_full(batch, t)
@@ -122,58 +146,125 @@ def dpm_solver_sample(
                 out, new_deep = model_cached(batch, t, deep), deep
         else:
             out, new_deep = model_fn(batch, t), None
-        if use_cfg:
+        new_delta = delta
+        if pair:
             cond, uncond = jnp.split(out, 2, axis=0)
+            new_delta = (cond - uncond).astype(x.dtype)
             pred = uncond + guidance_scale * (cond - uncond)
             if guidance_rescale > 0.0:
                 pred = rescale_noise_cfg(pred, cond, guidance_rescale)
+        elif mode == "reuse":
+            pred = out + (guidance_scale - 1.0) * delta
+            if guidance_rescale > 0.0:
+                pred = rescale_noise_cfg(pred, out, guidance_rescale)
         else:
             pred = out
         x0, _ = schedule.convert_output(pred, x, abar[i])
-        return x0, new_deep
+        return x0, new_deep, new_delta
 
-    def update(carry, i, x0):
-        x, x0_prev, has_prev = carry
+    def update(carry, i, x0, delta):
+        x, x0_prev, has_prev, _ = carry
         # 2M combination (first step: plain x0)
         w = inv2r[i] * has_prev
         D = (1.0 + w) * x0 - w * x0_prev
         x_next = s_ratio[i] * x + coeff[i] * D
         # keep carry dtypes stable under bf16 compute (f32 tables promote)
-        return (x_next.astype(x.dtype), x0.astype(x.dtype), jnp.float32(1.0))
+        return (x_next.astype(x.dtype), x0.astype(x.dtype), jnp.float32(1.0),
+                delta)
 
-    if not use_cache:
-        def body_for(use_cfg: bool):
-            def body(carry, i):
-                x0, _ = predict_x0(carry[0], i, None, use_cfg)
-                return update(carry, i, x0), None
+    def step_mode(flag: bool, offset: int) -> str:
+        """Mode of the ``offset``-th step/group inside an equal-flag run:
+        in-band runs refresh the delta at offsets 0, P, 2P, ...; so every
+        in-band segment starts with a refresh and the carried delta is
+        never read before it is written."""
+        if not flag:
+            return "plain"
+        if refresh_p == 1 or offset % refresh_p == 0:
+            return "pair"
+        return "reuse"
+
+    def run_steps(carry, start, end, flag):
+        """One equal-flag run of plain (uncached) steps: scan over
+        P-step super-steps (pair + P-1 delta-reuse unrolled in the body),
+        python-unrolled leftovers."""
+        def body_for(modes):
+            def body(carry, i0):
+                for j, mode in enumerate(modes):
+                    x0, _, d = predict_x0(carry[0], i0 + j, None, mode,
+                                          carry[3])
+                    carry = update(carry, i0 + j, x0, d)
+                return carry, None
             return body
 
-        carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
-        for start, end, flag in equal_flag_runs(in_band):
+        n = end - start
+        p = refresh_p if (flag and refresh_p > 1) else 1
+        supers = n // p
+        if supers:
+            modes = tuple(step_mode(flag, j) for j in range(p))
             carry, _ = jax.lax.scan(
-                body_for(flag), carry, jnp.arange(start, end))
+                body_for(modes), carry,
+                start + p * jnp.arange(supers))
+        for k in range(supers * p, n):
+            x0, _, d = predict_x0(carry[0], start + k, None,
+                                  step_mode(flag, k), carry[3])
+            carry = update(carry, start + k, x0, d)
+        return carry
+
+    if not use_cache:
+        carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0),
+                 jnp.zeros_like(noise))
+        for start, end, flag in equal_flag_runs(in_band):
+            carry = run_steps(carry, start, end, flag)
         return carry[0]
 
     groups = num_steps // cache_interval
     # group-level CFG flag: outward rounding to cache-group boundaries
     g_band = group_band(in_band, cache_interval, groups)
 
-    def group_body_for(use_cfg: bool):
-        def group_body(carry, g):
-            i0 = g * cache_interval
-            x0, deep = predict_x0(carry[0], i0, None, use_cfg)
-            carry = update(carry, i0, x0)
-            for j in range(1, cache_interval):
-                x0, _ = predict_x0(carry[0], i0 + j, deep, use_cfg)
-                carry = update(carry, i0 + j, x0)
-            return carry, None
-        return group_body
+    def group_calls(carry, g0_idx, mode):
+        """One cache group (full call at the head, cached tail) in a
+        single mode; ``g0_idx`` is the group's first step index."""
+        x0, deep, d = predict_x0(carry[0], g0_idx, None, mode, carry[3])
+        carry = update(carry, g0_idx, x0, d)
+        for j in range(1, cache_interval):
+            x0, _, d = predict_x0(carry[0], g0_idx + j, deep, mode,
+                                  carry[3])
+            carry = update(carry, g0_idx + j, x0, d)
+        return carry
 
-    carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0))
+    def run_groups(carry, g0, g1, flag):
+        """One equal-flag run of cache groups: scan over P-group
+        super-groups (refresh group + P-1 delta-reuse groups unrolled),
+        python-unrolled leftover groups."""
+        def body_for(modes):
+            def body(carry, g):
+                i0 = g * cache_interval
+                for j, mode in enumerate(modes):
+                    carry = group_calls(carry, i0 + j * cache_interval,
+                                        mode)
+                return carry, None
+            return body
+
+        n = g1 - g0
+        p = refresh_p if (flag and refresh_p > 1) else 1
+        supers = n // p
+        if supers:
+            modes = tuple(step_mode(flag, j) for j in range(p))
+            carry, _ = jax.lax.scan(
+                body_for(modes), carry, g0 + p * jnp.arange(supers))
+        for k in range(supers * p, n):
+            carry = group_calls(carry, (g0 + k) * cache_interval,
+                                step_mode(flag, k))
+        return carry
+
+    carry = (noise, jnp.zeros_like(noise), jnp.float32(0.0),
+             jnp.zeros_like(noise))
     for g0, g1, flag in equal_flag_runs(g_band):
-        carry, _ = jax.lax.scan(
-            group_body_for(flag), carry, jnp.arange(g0, g1))
+        carry = run_groups(carry, g0, g1, flag)
     for i in range(groups * cache_interval, num_steps):
-        x0, _ = predict_x0(carry[0], i, None, bool(in_band[i]))
-        carry = update(carry, i, x0)
+        # trailing partial group: full-depth calls; refresh CFG (cheap,
+        # at most cache_interval - 1 steps)
+        x0, _, d = predict_x0(carry[0], i, None,
+                              "pair" if in_band[i] else "plain", carry[3])
+        carry = update(carry, i, x0, d)
     return carry[0]

@@ -65,6 +65,7 @@ class GenerationServer:
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
+        cfg_refresh: int = 1,  # uncond every P-th in-band group (dpm)
         fused: bool = False,  # single-dispatch pipeline (api fused=True)
         controlnet=None,  # EzAudioControlNet(base=ez) — share ez's params
         clap_scorer=None,  # CLAPScorer enabling submit_reranked
@@ -104,7 +105,7 @@ class GenerationServer:
                                guidance_interval=guidance_interval,
                                quant=quant,
                                layer_cache=layer_cache, attn_impl=attn_impl,
-                               fused=fused)
+                               cfg_refresh=cfg_refresh, fused=fused)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None

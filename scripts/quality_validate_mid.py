@@ -390,7 +390,7 @@ def main():  # noqa: C901 — linear experiment script
                 guidance_interval=interval)
         return builder
 
-    def dpm(steps, layer_cache=None, interval=None):
+    def dpm(steps, layer_cache=None, interval=None, cfg_refresh=1):
         def builder(params, noise_c, ctx_pair):
             kw = {}
             if layer_cache is not None:
@@ -404,7 +404,8 @@ def main():  # noqa: C901 — linear experiment script
             return dpm_solver_sample(
                 lambda lat, t: apply_base(params, lat, t, ctx_pair)[0],
                 schedule, noise_c, steps, guidance_scale=GUIDANCE,
-                guidance_interval=interval, **kw)
+                guidance_interval=interval,
+                cfg_refresh_interval=cfg_refresh, **kw)
         return builder
 
     def ddim_lc(steps, k, m):
@@ -478,6 +479,17 @@ def main():  # noqa: C901 — linear experiment script
              {"quant_int8": True, "attn_impl": "chunked_bf16"}),
             (f"DPM-25 + lc({k_lc},2) + gi(400,700) + bf16 + int8 (band47)",
              dpm(25, (k_lc, 2), interval=(400, 700)),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
+            # cfg_refresh (diffusion/dpm.py): uncond recomputed every P-th
+            # in-band cache group, delta-reuse between — the in-band CFG
+            # pair cost drops ~P-fold on reuse groups
+            (f"DPM-25 + lc({k_lc},2) + gi(300,800) + cfgr2 (delta-reuse)",
+             dpm(25, (k_lc, 2), interval=(300, 800), cfg_refresh=2), {}),
+            (f"DPM-25 + lc({k_lc},2) + gi(300,800) + cfgr3 (delta-reuse)",
+             dpm(25, (k_lc, 2), interval=(300, 800), cfg_refresh=3), {}),
+            (f"DPM-25 + lc({k_lc},2) + gi(300,800) + cfgr2 + bf16 + int8"
+             " (max+gi+cfgr2)",
+             dpm(25, (k_lc, 2), interval=(300, 800), cfg_refresh=2),
              {"quant_int8": True, "attn_impl": "chunked_bf16"}),
         ]
 

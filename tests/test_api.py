@@ -191,6 +191,28 @@ class TestDPMSamplerOption:
         assert np.abs(a - b).max() > 1e-6
 
 
+class TestCfgRefresh:
+    def test_fresh_model_matches_pair(self, ez):
+        """The fresh tiny model is CFG-insensitive (zero-init AdaLN heads
+        -> cond == uncond -> zero guidance delta), so cfg_refresh=2 must
+        reproduce the standard pair through the public API, with and
+        without layer caching."""
+        kw = dict(length=2, ddim_steps=8, random_seed=3, sampler="dpm",
+                  guidance_interval=(300, 800))
+        _, a = ez.generate_audio("rain", **kw)
+        _, b = ez.generate_audio("rain", cfg_refresh=2, **kw)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        kw["layer_cache"] = (1, 2)
+        _, a = ez.generate_audio("rain", **kw)
+        _, b = ez.generate_audio("rain", cfg_refresh=2, **kw)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_requires_dpm(self, ez):
+        with pytest.raises(ValueError, match="cfg_refresh"):
+            ez.generate_audio("rain", length=2, ddim_steps=4,
+                              cfg_refresh=2)
+
+
 class TestGenerateLong:
     def test_long_generation_by_outpainting(self, ez):
         """Generate 5 s with a 2 s window at tiny scale (chained

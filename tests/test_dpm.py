@@ -130,3 +130,104 @@ class TestDPMGuidanceInterval:
             sample_latents(cfg_aware_model, SCHED, self._noise(rng),
                            jax.random.PRNGKey(0), 8, guidance_scale=3.0,
                            guidance_interval=(800.0, 300.0))
+
+
+def cfg_invariant_model(x, t):
+    """cond == uncond == 0.7x: the guidance delta is exactly zero, so the
+    pair ('uncond + s*0'), delta-reuse ('cond + (s-1)*0') and plain modes
+    all reduce to the same floating-point value — ANY cfg_refresh_interval
+    must match the standard pair (up to ulp-level fusion/FMA differences
+    between the differently-structured compiled scans)."""
+    return 0.7 * x
+
+
+class TestDPMCfgRefresh:
+    """cfg_refresh_interval: uncond branch recomputed only every P-th
+    in-band step/group; other in-band steps run cond-only with the carried
+    guidance delta."""
+
+    def _noise(self, rng):
+        return jnp.asarray(rng.standard_normal((2, 8, 4)).astype(np.float32))
+
+    def _cache_fns(self, model):
+        def full(x, t):
+            return model(x, t), jnp.float32(0.0)
+
+        def cached(x, t, deep):
+            return model(x, t) + 0.0 * deep
+
+        return full, cached
+
+    def test_p1_is_default(self, rng):
+        noise = self._noise(rng)
+        ref = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8,
+                                guidance_scale=3.0, guidance_rescale=0.3)
+        got = dpm_solver_sample(cfg_aware_model, SCHED, noise, 8,
+                                guidance_scale=3.0, guidance_rescale=0.3,
+                                cfg_refresh_interval=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_zero_delta_oracle_bit_equal(self, rng):
+        """CFG-invariant model: every P must match P=1 (ulp-tolerance:
+        the super-step scans compile to different fusions/FMAs), with and
+        without a guidance band."""
+        noise = self._noise(rng)
+        for band in (None, (300.0, 800.0)):
+            ref = dpm_solver_sample(cfg_invariant_model, SCHED, noise, 9,
+                                    guidance_scale=3.0,
+                                    guidance_interval=band)
+            for p in (2, 3, 8):
+                got = dpm_solver_sample(cfg_invariant_model, SCHED, noise, 9,
+                                        guidance_scale=3.0,
+                                        guidance_interval=band,
+                                        cfg_refresh_interval=p)
+                np.testing.assert_allclose(np.asarray(got),
+                                           np.asarray(ref), atol=1e-6)
+
+    def test_reuse_approximates_pair(self, rng):
+        """With a CFG-sensitive model the P=2 trajectory is a strictly
+        better approximation of full CFG than dropping guidance is, and
+        is not identical to either."""
+        noise = self._noise(rng)
+        full = np.asarray(dpm_solver_sample(
+            cfg_aware_model, SCHED, noise, 12, guidance_scale=3.0))
+        nocfg = np.asarray(dpm_solver_sample(cfg_aware_model, SCHED,
+                                             noise, 12))
+        p2 = np.asarray(dpm_solver_sample(
+            cfg_aware_model, SCHED, noise, 12, guidance_scale=3.0,
+            cfg_refresh_interval=2))
+        assert np.isfinite(p2).all()
+        assert np.abs(p2 - full).max() > 0
+        assert np.abs(p2 - nocfg).max() > 0
+        assert np.abs(p2 - full).mean() < np.abs(nocfg - full).mean()
+
+    def test_composes_with_cache_and_band(self, rng):
+        """layer caching + guidance band + P=2: the zero-delta oracle stays
+        at P=1's trajectory through the group-unrolled scan machinery
+        (ulp-tolerance for cross-program fusion differences)."""
+        noise = self._noise(rng)
+        full_fn, cached_fn = self._cache_fns(cfg_invariant_model)
+        kw = dict(guidance_scale=3.0, layer_cache_fns=(full_fn, cached_fn),
+                  cache_interval=2, guidance_interval=(300.0, 800.0))
+        ref = dpm_solver_sample(cfg_invariant_model, SCHED, noise, 12, **kw)
+        for p in (2, 3):
+            got = dpm_solver_sample(cfg_invariant_model, SCHED, noise, 12,
+                                    cfg_refresh_interval=p, **kw)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6)
+        # CFG-sensitive model: finite and distinct from the P=1 trajectory
+        full_fn, cached_fn = self._cache_fns(cfg_aware_model)
+        kw["layer_cache_fns"] = (full_fn, cached_fn)
+        p1 = np.asarray(dpm_solver_sample(
+            cfg_aware_model, SCHED, noise, 12, **kw))
+        p2 = np.asarray(dpm_solver_sample(
+            cfg_aware_model, SCHED, noise, 12, cfg_refresh_interval=2, **kw))
+        assert np.isfinite(p2).all()
+        assert np.abs(p2 - p1).max() > 0
+
+    def test_invalid_p_raises(self, rng):
+        import pytest
+
+        with pytest.raises(ValueError, match="cfg_refresh_interval"):
+            dpm_solver_sample(cfg_aware_model, SCHED, self._noise(rng), 8,
+                              guidance_scale=3.0, cfg_refresh_interval=0)
