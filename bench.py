@@ -5,12 +5,12 @@ reference's default sampling cost (100 DDIM steps x 2 CFG forwards,
 guidance 5.0, rescale 0.75 — reference api/ezaudio.py:101-103, reported
 under "reference_default_recipe") and at the fastest quality-validated
 recipe (DPM-Solver++(2M)-25 + DiT layer_cache(2,2) + chunked-bf16
-attention + int8 W8A8 linears + guidance_interval(300,800) — the
-composition FAD-validated on a TPU-trained mid-scale model, BASELINE.md
-mid-scale table, where the CFG band IMPROVES FAD while halving
-out-of-band step cost; reported as the headline value).  Random weights
-(throughput is weight-independent), bf16 compute, on the available
-accelerator.
+attention + int8 W8A8 linears — the composition FAD-validated on
+TPU-trained models at BOTH mid scale and the shipped depth-24 flagship
+geometry, BASELINE.md; guidance_interval was the r3 default but is
+demoted to opt-in after the flagship-geometry validation showed it
+past the quality bar there).  Random weights (throughput is
+weight-independent), bf16 compute, on the available accelerator.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
@@ -163,16 +163,16 @@ def main():
         layer_cache = tuple(
             int(v) for v in os.environ["BENCH_LAYER_CACHE"].split(","))
     quant = os.environ.get("BENCH_QUANT") or None
-    # guidance_interval: DEFAULT in the fast recipe — the mid-scale table
-    # shows gi(300,800) IMPROVES FAD (27.4 vs 30.1 composed, 22.0 vs 28.1
-    # on DDIM-100: full-schedule CFG over-sharpens, arXiv 2404.07724)
-    # while out-of-band steps run cond-only at half cost (+12.6% same-
-    # session at batch 4).  BENCH_GI="t_lo,t_hi" overrides; "off" disables.
-    # Env-pinned recipes compose gi only when BENCH_GI is set explicitly.
+    # guidance_interval: OPT-IN only (BENCH_GI="t_lo,t_hi").  It was the
+    # r3 default — the mid-scale table showed gi(300,800) improving FAD —
+    # but the round-4 FLAGSHIP-geometry validation (depth 24, BASELINE.md)
+    # reversed that: gi pushes every layer-cache composition past the
+    # reference-default quality bar (61.8/61.0 vs the 55.5 anchor), so it
+    # is demoted from the quality-validated fast recipe.
     gi_env = os.environ.get("BENCH_GI")
     gi_override = (None if gi_env in (None, "", "off", "0")
                    else tuple(float(x) for x in gi_env.split(",")))
-    gi_fast = (300.0, 800.0) if gi_env is None else gi_override
+    gi_fast = gi_override
     # BENCH_CFG_REFRESH=P: recompute the uncond CFG branch only every
     # P-th in-band cache group, delta-reuse between (diffusion/dpm.py
     # cfg_refresh_interval).  Composes into the fast recipe only.
