@@ -482,7 +482,10 @@ def main():  # noqa: C901 — linear experiment script
              {"quant_int8": True, "attn_impl": "chunked_bf16"}),
             # cfg_refresh (diffusion/dpm.py): uncond recomputed every P-th
             # in-band cache group, delta-reuse between — the in-band CFG
-            # pair cost drops ~P-fold on reuse groups
+            # pair cost drops ~P-fold on reuse groups.  Rows with AND
+            # without gi: the flagship-geometry run showed gi composed
+            # with lc is past the quality bar at depth 24, so the no-gi
+            # composition is the live headline candidate
             (f"DPM-25 + lc({k_lc},2) + gi(300,800) + cfgr2 (delta-reuse)",
              dpm(25, (k_lc, 2), interval=(300, 800), cfg_refresh=2), {}),
             (f"DPM-25 + lc({k_lc},2) + gi(300,800) + cfgr3 (delta-reuse)",
@@ -490,6 +493,14 @@ def main():  # noqa: C901 — linear experiment script
             (f"DPM-25 + lc({k_lc},2) + gi(300,800) + cfgr2 + bf16 + int8"
              " (max+gi+cfgr2)",
              dpm(25, (k_lc, 2), interval=(300, 800), cfg_refresh=2),
+             {"quant_int8": True, "attn_impl": "chunked_bf16"}),
+            (f"DPM-25 + lc({k_lc},2) + cfgr2 (no gi)",
+             dpm(25, (k_lc, 2), cfg_refresh=2), {}),
+            (f"DPM-25 + lc({k_lc},2) + cfgr3 (no gi)",
+             dpm(25, (k_lc, 2), cfg_refresh=3), {}),
+            (f"DPM-25 + lc({k_lc},2) + cfgr2 + bf16 + int8 (max+cfgr2,"
+             " no gi)",
+             dpm(25, (k_lc, 2), cfg_refresh=2),
              {"quant_int8": True, "attn_impl": "chunked_bf16"}),
         ]
 
