@@ -175,8 +175,13 @@ def main():
     gi_fast = gi_override
     # BENCH_CFG_REFRESH=P: recompute the uncond CFG branch only every
     # P-th in-band cache group, delta-reuse between (diffusion/dpm.py
-    # cfg_refresh_interval).  Composes into the fast recipe only.
-    cfg_refresh = int(os.environ.get("BENCH_CFG_REFRESH", "1"))
+    # cfg_refresh_interval).  Default 2: the flagship-geometry (depth-24)
+    # quality table (BASELINE.md) measured max+cfgr2 at FAD 54.67 vs the
+    # 55.47 reference-default anchor — still neutral-or-better — for
+    # +17% throughput same-session (45.8 -> 53.8 audio-s/s/chip).  Set
+    # BENCH_CFG_REFRESH=1 for the maximum-quality-headroom recipe
+    # (FAD 51.23, -7.6% vs anchor).
+    cfg_refresh = int(os.environ.get("BENCH_CFG_REFRESH", "2"))
 
     from ezaudio_tpu.api.ezaudio import EzAudio
     from ezaudio_tpu.text.t5 import T5EncoderConfig
