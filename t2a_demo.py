@@ -29,9 +29,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--fast", action="store_true",
-                    help="the quality-validated fast recipe (BASELINE.md): "
-                    "DPM-Solver++-25 + layer_cache(2,2) + chunked-bf16 "
-                    "attention + int8 linears + guidance_interval(300,800)")
+                    help="the quality-validated fast recipe (BASELINE.md "
+                    "round-4 flagship table): DPM-Solver++-25 + "
+                    "layer_cache(2,2) + chunked-bf16 attention + int8 "
+                    "linears + cfg_refresh(2)")
     args = ap.parse_args()
 
     from ezaudio_tpu.api.ezaudio import EzAudio
@@ -43,9 +44,12 @@ def main():
                  dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     recipe = {}
     if args.fast:
+        # gi(300,800) was demoted from this recipe by the depth-24
+        # flagship quality validation (BASELINE.md round-4 table);
+        # cfg_refresh(2) composes in anchor-neutral.
         recipe = dict(sampler="dpm", ddim_steps=25, layer_cache=(2, 2),
                       attn_impl="chunked_bf16", quant="int8",
-                      guidance_interval=(300, 800))
+                      cfg_refresh=2)
         recipe["ddim_steps"] = min(recipe["ddim_steps"], args.steps)
     sr, wav = ez.generate_audio(
         args.prompt, length=args.length,
