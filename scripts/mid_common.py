@@ -180,15 +180,30 @@ def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
     state = init_codec_train_state(ez.autoencoder.model, disc, gtx, dtx,
                                    jax.random.PRNGKey(5), audio0,
                                    gen_params=ez.autoencoder.params)
+    # Adversarial VAE fits can destabilize late (observed: mrstft
+    # 3.9 -> 4784 at step 1250 of 1500) — keep the best smoothed-mrstft
+    # snapshot instead of trusting the final step.
     t1 = time.time()
+    ema, best_ema, best_params = None, float("inf"), None
     for i in range(steps):
         audio = jnp.asarray(crops(batch)[:, :, None])
         state, m = step_fn(state, audio, jax.random.PRNGKey(i))
+        cur = float(m["gen/mrstft"])
+        ema = cur if ema is None else 0.95 * ema + 0.05 * cur
+        if i >= steps // 4 and i % 50 == 0 and ema < best_ema:
+            best_ema = ema
+            best_params = jax.device_get(state.gen_params)
         if i % 250 == 0 or i == steps - 1:
-            print(f"  [vae] step {i}: mrstft {float(m['gen/mrstft']):.4f} "
-                  f"({time.time()-t1:.0f}s)", flush=True)
-    ez.autoencoder.params = jax.device_get(state.gen_params)
-    _save_params(folder, ez.autoencoder.params, {"steps": steps})
+            print(f"  [vae] step {i}: mrstft {cur:.4f} "
+                  f"(ema {ema:.4f}, best {best_ema:.4f}, "
+                  f"{time.time()-t1:.0f}s)", flush=True)
+    if best_params is None or ema < best_ema:
+        best_params, best_ema = jax.device_get(state.gen_params), ema
+    print(f"[vae] keeping snapshot at ema mrstft {best_ema:.4f}",
+          flush=True)
+    ez.autoencoder.params = best_params
+    _save_params(folder, ez.autoencoder.params,
+                 {"steps": steps, "best_ema_mrstft": best_ema})
     print(f"[vae] cached: {folder}", flush=True)
 
 
