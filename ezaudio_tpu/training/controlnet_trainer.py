@@ -70,7 +70,7 @@ def make_controlnet_train_step(
             step=jnp.zeros((), jnp.int32), cn_params=cn_params,
             opt_state=make_tx(cn_params).init(cn_params))
 
-    def loss_fn(cn_params, batch, rng):
+    def loss_fn(cn_params, dit_params, batch, rng):
         k_noise, k_t, k_mask = jax.random.split(rng, 3)
         latents = scale_shift(batch["latents"], scale, shift)
         B = latents.shape[0]
@@ -99,15 +99,25 @@ def make_controlnet_train_step(
         return masked_diffusion_loss(pred, target, mae_mask, schedule, t,
                                      snr_gamma)
 
+    # The frozen base tree is a runtime ARGUMENT of the jitted step, not a
+    # closure capture: captured trees bake into the HLO as constants, and at
+    # mid/flagship geometry the serialized program blows past the axon
+    # tunnel's remote_compile body limit (observed HTTP 413 at 83M params).
     @jax.jit
-    def step(state: ControlNetTrainState, batch, rng):
+    def _step(state: ControlNetTrainState, dit_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.cn_params, batch, rng)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.cn_params, dit_params, batch, rng)
         tx = make_tx(state.cn_params)
         updates, opt_state = tx.update(grads, state.opt_state, state.cn_params)
         cn_params = optax.apply_updates(state.cn_params, updates)
         return (state.replace(step=state.step + 1, cn_params=cn_params,
                               opt_state=opt_state),
                 {"loss": loss, "grad_norm": optax.global_norm(grads)})
+
+    dit_params = jax.device_put(dit_params)
+
+    def step(state: ControlNetTrainState, batch, rng):
+        return _step(state, dit_params, batch, rng)
 
     return init, step
