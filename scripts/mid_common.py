@@ -207,13 +207,52 @@ def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
     print(f"[vae] cached: {folder}", flush=True)
 
 
+def _vae_fingerprint(params):
+    """Cheap content fingerprint of a (host-side numpy) param tree, used
+    to key the encoded-latents cache on the exact fitted VAE."""
+    total = 0.0
+    for leaf in jax.tree_util.tree_leaves(params):
+        total += float(np.float64(np.abs(np.asarray(leaf)).sum()))
+    return f"{total:.6e}".replace("+", "")
+
+
 def prepare_data(ez, frames: int, n_train: int, n_eval: int,
-                 min_readout_acc: float = 0.95):
+                 min_readout_acc: float = 0.95,
+                 cache_dir: str = "/tmp/mid_data"):
     """Synthesize the 4-class distribution, encode through ez's own VAE,
     normalize, and wire the inverse into ez.scale/ez.shift so decode
-    reproduces audio from model-space latents.  Returns a dict."""
+    reproduces audio from model-space latents.  Returns a dict.
+
+    The encode of ~1k clips costs ~15 min through the axon tunnel, so the
+    latents are disk-cached keyed by (frames, n_train, n_eval, VAE param
+    fingerprint); text embeddings are cheap and recomputed every call."""
     sr = ez.sr
     ratio = sr // ez.latent_sr
+
+    folder = os.path.join(
+        cache_dir, f"f{frames}_t{n_train}_e{n_eval}_"
+        f"{_vae_fingerprint(ez.autoencoder.params)}")
+    cache_npz = os.path.join(folder, "latents.npz")
+    if os.path.exists(cache_npz):
+        z = dict(np.load(cache_npz))
+        mu, sd = float(z["mu"]), float(z["sd"])
+        ez.scale = 1.0 / sd
+        ez.shift = -mu
+        acc_ref = float(
+            (latent_class(z["m_eval"]) == z["cls_eval"]).mean())
+        print(f"[data] reusing cached latents: {folder} "
+              f"(readout {acc_ref:.3f})", flush=True)
+        assert acc_ref >= (min_readout_acc if frames >= 250 else 0.8)
+        cond_emb, cond_mask = ez.embed_text(PROMPTS)
+        unc_emb, unc_mask = ez.embed_text([""])
+        return dict(
+            m_train=z["m_train"], cls_train=z["cls_train"],
+            m_eval=z["m_eval"], cls_eval=z["cls_eval"], mu=mu, sd=sd,
+            cond_emb=np.asarray(cond_emb, np.float32),
+            cond_mask=np.asarray(cond_mask),
+            unc_emb=np.asarray(unc_emb, np.float32),
+            unc_mask=np.asarray(unc_mask),
+        )
 
     def encode_clips(n, seed):
         rng = np.random.default_rng(seed)
@@ -242,6 +281,10 @@ def prepare_data(ez, frames: int, n_train: int, n_eval: int,
     m_eval = (z_eval - mu) / sd
     print(f"encoded {n_train}+{n_eval} clips in {time.time()-t0:.0f}s; "
           f"mu {mu:.4f} sd {sd:.4f}", flush=True)
+    os.makedirs(folder, exist_ok=True)
+    np.savez(cache_npz, m_train=m_train, cls_train=cls_train,
+             m_eval=m_eval, cls_eval=cls_eval, mu=mu, sd=sd)
+    print(f"[data] cached: {folder}", flush=True)
     acc_ref = float((latent_class(m_eval) == cls_eval).mean())
     print(f"readout accuracy on reference latents: {acc_ref:.3f}", flush=True)
     # short smoke clips lose AM-rate spectral resolution; the real gate
@@ -275,13 +318,20 @@ def train_teacher(ez, model_cfg, data, steps: int, batch: int,
            f"L{model_cfg['img_size']}_s{steps}_b{batch}")
     folder = os.path.join(cache_dir, key)
     if os.path.exists(os.path.join(folder, "params.npz")):
+        # the cached teacher is only valid for the exact architecture
+        # (the key omits e.g. num_heads — observed stale-cache shape
+        # error) and with its own latent norm
+        with open(os.path.join(folder, "metadata.json")) as f:
+            cached_cfg = json.load(f)["kwargs"]["model"]
         _, params, meta = load_model(folder)
-        # the cached teacher is only valid with its own latent norm
-        if (abs(meta.get("latent_mu", 1e9) - data["mu"]) < 1e-6
+        if (cached_cfg == dict(model_cfg)
+                and abs(meta.get("latent_mu", 1e9) - data["mu"]) < 1e-6
                 and abs(meta.get("latent_sd", 1e9) - data["sd"]) < 1e-6):
             print(f"[{tag}] reusing cached teacher: {folder}", flush=True)
             ez.dit_params = {"params": params}
             return params
+        print(f"[{tag}] cache at {folder} does not match "
+              f"(arch or latent norm) — retraining", flush=True)
 
     schedule = DDIMSchedule.from_config(
         dict(num_train_timesteps=1000, beta_schedule="scaled_linear",

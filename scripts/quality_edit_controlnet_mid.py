@@ -112,33 +112,6 @@ def main():  # noqa: C901 — linear experiment script
     train_teacher(ez, model_cfg, data, TRAIN_STEPS, BATCH)
     schedule = DDIMSchedule.from_config(cfg["diff"])
 
-    # ------------------------------------------------------------------
-    # EDITING rows
-    # ------------------------------------------------------------------
-    # class-changing edits on fresh gt clips: mask the middle 40%
-    mask_start_s = 0.3 * length_s
-    mask_len_s = 0.4 * length_s
-    m0 = int(mask_start_s * latent_sr)
-    m1 = m0 + int(mask_len_s * latent_sr)
-    rng = np.random.default_rng(2)
-    gt_cls = rng.integers(0, len(PROMPTS), N_EDIT)
-    edit_cls = (gt_cls + 1 + rng.integers(0, len(PROMPTS) - 1, N_EDIT)) \
-        % len(PROMPTS)
-    gt_wavs = np.stack([peak_wav(synth_clip(rng, int(c), FRAMES * ratio, sr))
-                        for c in gt_cls])
-
-    t0 = time.time()
-    edited, gt_rt = [], []
-    for i in range(N_EDIT):
-        _, w = ez.editing_audio(
-            PROMPTS[int(edit_cls[i])], boundary=0.08 * length_s,
-            gt_file=gt_wavs[i], mask_start=mask_start_s,
-            mask_length=mask_len_s, ddim_steps=EDIT_STEPS,
-            guidance_scale=GUIDANCE, random_seed=i)
-        edited.append(np.asarray(w, np.float32)[: gt_wavs.shape[1]])
-    edited = np.stack(edited)
-    print(f"edited {N_EDIT} clips in {time.time()-t0:.0f}s", flush=True)
-
     def enc(wavs):
         zs = []
         for i in range(0, len(wavs), 8):
@@ -147,45 +120,96 @@ def main():  # noqa: C901 — linear experiment script
                 np.float32))
         return (np.concatenate(zs, 0) - mu) / sd
 
-    m_edit = enc(edited)
-    m_gt = enc(gt_wavs)
+    # ------------------------------------------------------------------
+    # EDITING rows (QC_SKIP_EDIT=1 jumps straight to the ControlNet
+    # phase — the editing rows are deterministic given the cached
+    # VAE/teacher, so a completed earlier run's rows stay valid)
+    # ------------------------------------------------------------------
+    # mask the middle 40%
+    mask_start_s = 0.3 * length_s
+    mask_len_s = 0.4 * length_s
+    m0 = int(mask_start_s * latent_sr)
+    m1 = m0 + int(mask_len_s * latent_sr)
 
-    # region FAD vs the reference distribution's same region (roundtrip
-    # both sides: m_edit came through decode->encode by construction)
-    ref_rt = roundtrip_latents(ez, data["m_eval"], mu, sd)
-    fad_region = frechet_audio_distance(
-        features(m_edit[:, m0:m1]), features(ref_rt[:, m0:m1]))
-    acc_edit = float(
-        (latent_class(m_edit[:, m0:m1]) == edit_cls).mean())
-    acc_gt_region = float(
-        (latent_class(m_gt[:, m0:m1]) == gt_cls).mean())
-    # out-of-mask preservation: the paste must keep gt (up to VAE
-    # roundtrip noise, whose scale the gt roundtrip itself sets)
-    out_mask = np.ones(FRAMES, bool)
-    out_mask[m0:m1] = False
-    bnd = int(0.08 * length_s * latent_sr) + 2
-    out_mask[max(0, m0 - bnd) : m0] = False  # boundary band is re-noised
-    out_mask[m1 : m1 + bnd] = False
-    pres_err = float(np.abs(m_edit[:, out_mask] - m_gt[:, out_mask]).mean())
-    gt_scale = float(np.abs(m_gt[:, out_mask]).mean())
+    def run_edits(gt_cls, edit_cls, seed0):
+        gt_wavs = np.stack(
+            [peak_wav(synth_clip(rng, int(c), FRAMES * ratio, sr))
+             for c in gt_cls])
+        t0 = time.time()
+        edited = []
+        for i in range(len(gt_cls)):
+            _, w = ez.editing_audio(
+                PROMPTS[int(edit_cls[i])], boundary=0.08 * length_s,
+                gt_file=gt_wavs[i], mask_start=mask_start_s,
+                mask_length=mask_len_s, ddim_steps=EDIT_STEPS,
+                guidance_scale=GUIDANCE, random_seed=seed0 + i)
+            edited.append(np.asarray(w, np.float32)[: gt_wavs.shape[1]])
+        print(f"edited {len(gt_cls)} clips in {time.time()-t0:.0f}s",
+              flush=True)
+        return enc(np.stack(edited)), enc(gt_wavs)
 
-    # seam: edited vs gt continuity floor vs naive-splice ceiling
-    seam_edit = seam_db(m_edit, m0, m1)
-    seam_gt = seam_db(m_gt, m0, m1)
-    spliced = m_gt.copy()
-    spliced[:, m0:m1] = np.roll(m_gt[:, m0:m1], 1, axis=0)  # other clip
-    seam_splice = seam_db(spliced, m0, m1)
+    if os.environ.get("QC_SKIP_EDIT") != "1":
+        # class-CHANGING edits on fresh gt clips (the readout must hear
+        # the new class inside the mask)
+        rng = np.random.default_rng(2)
+        gt_cls = rng.integers(0, len(PROMPTS), N_EDIT)
+        edit_cls = (gt_cls + 1 + rng.integers(0, len(PROMPTS) - 1, N_EDIT)) \
+            % len(PROMPTS)
+        m_edit, m_gt = run_edits(gt_cls, edit_cls, seed0=0)
 
-    print("\n| editing metric | value | baseline |")
-    print("|---|---|---|")
-    print(f"| mask-region FAD vs data | {fad_region:.3f} | — |")
-    print(f"| in-mask edit-class accuracy | {acc_edit:.2f} | "
-          f"gt-region readout {acc_gt_region:.2f} |")
-    print(f"| out-of-mask preservation err | {pres_err:.4f} | "
-          f"gt level {gt_scale:.4f} |")
-    print(f"| seam energy step (dB) | {float(seam_edit.mean()):.2f} | "
-          f"gt floor {float(seam_gt.mean()):.2f} / naive splice "
-          f"{float(seam_splice.mean()):.2f} |", flush=True)
+        # region FAD vs the reference distribution's same region (roundtrip
+        # both sides: m_edit came through decode->encode by construction)
+        ref_rt = roundtrip_latents(ez, data["m_eval"], mu, sd)
+        fad_region = frechet_audio_distance(
+            features(m_edit[:, m0:m1]), features(ref_rt[:, m0:m1]))
+        acc_edit = float(
+            (latent_class(m_edit[:, m0:m1]) == edit_cls).mean())
+        acc_gt_region = float(
+            (latent_class(m_gt[:, m0:m1]) == gt_cls).mean())
+        # out-of-mask preservation: the paste must keep gt (up to VAE
+        # roundtrip noise, whose scale the gt roundtrip itself sets)
+        out_mask = np.ones(FRAMES, bool)
+        out_mask[m0:m1] = False
+        bnd = int(0.08 * length_s * latent_sr) + 2
+        out_mask[max(0, m0 - bnd) : m0] = False  # boundary band re-noised
+        out_mask[m1 : m1 + bnd] = False
+        pres_err = float(
+            np.abs(m_edit[:, out_mask] - m_gt[:, out_mask]).mean())
+        gt_scale = float(np.abs(m_gt[:, out_mask]).mean())
+
+        # seam: edited vs gt continuity floor vs naive-splice ceiling.
+        # A class-changing edit legitimately steps in energy (the new
+        # class has a different envelope), so ALSO measure same-class
+        # edits, where a working seam should sit near the gt floor.
+        seam_edit = seam_db(m_edit, m0, m1)
+        seam_gt = seam_db(m_gt, m0, m1)
+        spliced = m_gt.copy()
+        spliced[:, m0:m1] = np.roll(m_gt[:, m0:m1], 1, axis=0)  # other clip
+        seam_splice = seam_db(spliced, m0, m1)
+
+        n_same = int(E("QC_N_SAME", str(max(8, N_EDIT // 2))))
+        same_cls = rng.integers(0, len(PROMPTS), n_same)
+        m_same, m_same_gt = run_edits(same_cls, same_cls, seed0=1000)
+        seam_same = seam_db(m_same, m0, m1)
+        seam_same_gt = seam_db(m_same_gt, m0, m1)
+        acc_same = float(
+            (latent_class(m_same[:, m0:m1]) == same_cls).mean())
+
+        print("\n| editing metric | value | baseline |")
+        print("|---|---|---|")
+        print(f"| mask-region FAD vs data | {fad_region:.3f} | — |")
+        print(f"| in-mask edit-class accuracy | {acc_edit:.2f} | "
+              f"gt-region readout {acc_gt_region:.2f} |")
+        print(f"| out-of-mask preservation err | {pres_err:.4f} | "
+              f"gt level {gt_scale:.4f} |")
+        print(f"| seam energy step, class-changing (dB) | "
+              f"{float(seam_edit.mean()):.2f} | "
+              f"gt floor {float(seam_gt.mean()):.2f} / naive splice "
+              f"{float(seam_splice.mean()):.2f} |")
+        print(f"| seam energy step, same-class (dB) | "
+              f"{float(seam_same.mean()):.2f} | "
+              f"gt floor {float(seam_same_gt.mean()):.2f}; in-mask acc "
+              f"{acc_same:.2f} |", flush=True)
 
     # ------------------------------------------------------------------
     # CONTROLNET rows
