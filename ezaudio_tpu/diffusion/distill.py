@@ -120,7 +120,11 @@ def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
     The returned step has the same (state, batch, rng) -> (state, metrics)
     contract as ``training.trainer.make_train_step``; ``batch`` must carry
     ``latents`` (clean x0) plus whatever conditioning the two closures
-    need.
+    need.  Like that step, it DONATES the incoming state — since the
+    student is conventionally initialized FROM the teacher, build the
+    state from a COPY (``jax.tree.map(jnp.array, teacher_params)``), or
+    the first donation deletes the teacher tree out from under
+    ``teacher_fn``.
     """
     assert schedule.prediction_type == "v_prediction", (
         "the closed-form target below is the v-parameterization; "
@@ -145,9 +149,15 @@ def make_distill_step(student_apply: Callable, teacher_fn_builder: Callable,
         v = student_apply(params, x_t, tables.ts[m], batch)
         return jnp.mean((v - v_star) ** 2)
 
+    import functools
+
     import optax
 
-    @jax.jit
+    # Donate the incoming state: without it, an async dispatch queue that
+    # runs ahead of a slow device pins one full un-aliased (params, mu, nu)
+    # copy PER ENQUEUED STEP in host staging — at mid scale that is ~1 GB a
+    # step and OOM-killed the r4 distill-serve run at 130 GB RSS.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def _step(state, batch, rng, t_params):
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(

@@ -13,6 +13,7 @@ condition pipeline (condition span-masking active inside ControlNetEmbed).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -66,6 +67,11 @@ def make_controlnet_train_step(
             {"train": tx, "freeze": optax.set_to_zero()}, labels)
 
     def init(cn_params) -> ControlNetTrainState:
+        # Deep-copy: the step DONATES its state, and cn_params commonly
+        # aliases the frozen base tree (init_params_from_base shares the
+        # in_block leaf buffers) — donating an aliased tree would delete
+        # the base params out from under the frozen forward pass.
+        cn_params = jax.tree.map(jnp.array, cn_params)
         return ControlNetTrainState(
             step=jnp.zeros((), jnp.int32), cn_params=cn_params,
             opt_state=make_tx(cn_params).init(cn_params))
@@ -103,7 +109,10 @@ def make_controlnet_train_step(
     # closure capture: captured trees bake into the HLO as constants, and at
     # mid/flagship geometry the serialized program blows past the axon
     # tunnel's remote_compile body limit (observed HTTP 413 at 83M params).
-    @jax.jit
+    # state is donated: without aliasing, an async dispatch queue running
+    # ahead of a slow device pins one full state copy per enqueued step in
+    # host staging (the r4 distill-serve OOM lesson, diffusion/distill.py).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def _step(state: ControlNetTrainState, dit_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(

@@ -132,7 +132,8 @@ def main():  # noqa: C901 — linear experiment script
         tables = distill_tables(schedule, n_student)
         builder = guided_builder if si == 0 else plain_builder
         tx_s = make_optimizer(t_params, learning_rate=1e-4, warmup=100)
-        st = TrainState.create(t_params, tx_s)
+        st = TrainState.create(  # copy: the step donates state; t_params
+            jax.tree.map(jnp.array, t_params), tx_s)  # doubles as teacher
         dstep = make_distill_step(student_apply, builder, schedule, tx_s,
                                   tables, teacher_params=t_params)
         t1 = time.time()
@@ -145,6 +146,10 @@ def main():  # noqa: C901 — linear experiment script
                 "text_mask": jnp.asarray(
                     data["cond_mask"][data["cls_train"][idx]])}
             st, metrics = dstep(st, batch, jax.random.PRNGKey(50_000 + i))
+            if i % 25 == 0:
+                # backpressure: never let the host enqueue unboundedly far
+                # ahead of the tunnel device (r4 OOM lesson, see distill.py)
+                jax.block_until_ready(metrics["loss"])
             if i % 500 == 0 or i == DISTILL_STEPS - 1:
                 print(f"  [distill {16 >> si}->{n_student}] step {i}: "
                       f"loss {float(metrics['loss']):.5f} "

@@ -127,7 +127,8 @@ def main():
         builder = (make_teacher_builder(guidance) if si == 0
                    else make_plain_builder())
         tx_s = make_optimizer(t_params, learning_rate=1e-4, warmup=100)
-        st = TrainState.create(t_params, tx_s)
+        st = TrainState.create(  # copy: the step donates state; t_params
+            jax.tree.map(jnp.array, t_params), tx_s)  # doubles as teacher
         dstep = make_distill_step(student_apply, builder, schedule, tx_s,
                                   tables, teacher_params=t_params)
         t0 = time.time()

@@ -595,7 +595,8 @@ def main():  # noqa: C901 — linear experiment script
             tables = distill_tables(schedule, n_student)
             builder = guided_builder if si == 0 else plain_builder
             tx_s = make_optimizer(t_params, learning_rate=1e-4, warmup=100)
-            st = TrainState.create(t_params, tx_s)
+            st = TrainState.create(  # copy: the step donates state; t_params
+                jax.tree.map(jnp.array, t_params), tx_s)  # doubles as teacher
             dstep = make_distill_step(student_apply, builder, schedule,
                                       tx_s, tables, teacher_params=t_params)
             t1 = time.time()

@@ -39,9 +39,11 @@ def test_controlnet_training_step(rng):
         "text": jnp.asarray(rng.standard_normal((B, Lc, D)).astype(np.float32)),
         "text_mask": jnp.ones((B, Lc), bool),
     }
-    # determinism: same state+rng -> identical loss
-    _, m1 = step(state, batch, jax.random.PRNGKey(1))
-    _, m2 = step(state, batch, jax.random.PRNGKey(1))
+    # determinism: same state+rng -> identical loss.  The step DONATES its
+    # state, so each probe gets a fresh init (init() deep-copies cn_params,
+    # which therefore survives for the frozen-subset comparison below).
+    _, m1 = step(init(cn_params), batch, jax.random.PRNGKey(1))
+    _, m2 = step(init(cn_params), batch, jax.random.PRNGKey(1))
     assert float(m1["loss"]) == float(m2["loss"])
 
     losses = []

@@ -129,8 +129,10 @@ class TestDistillStage:
             return fn
 
         tx = make_optimizer(params, learning_rate=1e-3, warmup=0)
-        # student starts FROM the teacher (standard progressive init)
-        state = TrainState.create(params, tx)
+        # student starts FROM the teacher (standard progressive init); the
+        # step donates state, so copy — donating the module-scoped fixture
+        # tree would delete it for the remaining tests
+        state = TrainState.create(jax.tree.map(jnp.array, params), tx)
         step = make_distill_step(student_apply, teacher_fn_builder,
                                  schedule, tx, tables)
 
