@@ -150,7 +150,10 @@ def _arm_progress_watchdog():
 def main():
     _probe_device_or_fallback()
     _arm_progress_watchdog()
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    # Default batch 8: probe15's same-session sweep of the fast recipe
+    # post-fused-VAE (docs/evidence/r4rb_probe15.log) has batch 8 at
+    # 58.87 audio-s/s/chip vs 56.57 at batch 4 (16 loses: 51.87).
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     ddim_steps = int(os.environ.get("BENCH_STEPS", "100"))
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     length_s = 10.0
