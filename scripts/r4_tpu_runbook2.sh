@@ -36,3 +36,9 @@ run_stage() {  # name, log, cmd...
 run_stage ds  /tmp/r4rb2_ds.log      python -u scripts/distill_serve_mid.py
 run_stage p15 /tmp/r4rb2_probe15.log python -u scripts/perf_probe15.py
 echo "[runbook2] $(date +%T) done"
+
+# Appended while the queue was waiting on the tunnel (append-only is safe
+# for a running bash script): refresh bench_last_good.json at the new
+# batch-8 default once the sweep evidence is in.
+run_stage bench /tmp/r4rb2_bench.log python -u bench.py
+echo "[runbook2] $(date +%T) bench stage done"
