@@ -30,6 +30,7 @@ class TestInverseLR:
 
 
 class TestVAETraining:
+    @pytest.mark.heavy  # 30 s adversarial training loop; core keeps test_dac_training_step
     def test_losses_decrease(self, rng):
         vae = AudioVAE(io_channels=1, channels=4, latent_dim=4,
                        c_mults=(1, 2), strides=(2, 4))

@@ -82,6 +82,7 @@ class TestRVQ:
         assert out["codes"].shape == (4, 3, 8)
         assert np.isfinite(float(out["vq/commitment_loss"]))
 
+    @pytest.mark.heavy  # 17 s grad compile through the full RVQ stack
     def test_straight_through_gradients(self, dac_pair):
         model, params, d = dac_pair
         x = jnp.asarray(d["x"].transpose(0, 2, 1))
@@ -116,6 +117,7 @@ class TestDACFile:
 
 
 class TestDiscriminator:
+    @pytest.mark.heavy  # 20 s multi-scale/multi-period disc compile
     def test_shapes_and_gan_losses(self, rng):
         from ezaudio_tpu.codecs.discriminator import (
             Discriminator, discriminator_loss, generator_loss)

@@ -84,6 +84,7 @@ class TestTables:
             float(schedule.final_alpha_cumprod))
 
 
+@pytest.mark.heavy  # 36 s: per-step closed-form sweep over a compiled teacher
 class TestClosedForm:
     def test_v_target_reproduces_two_teacher_steps(self, setup):
         """One student DDIM step with the closed-form v* must land exactly

@@ -59,6 +59,7 @@ class TestEncodec:
             errs.append(float(jnp.mean(jnp.square(z - zq))))
         assert errs[1] <= errs[0] + 1e-7, errs
 
+    @pytest.mark.heavy  # 29 s grad compile through SEANet+LSTM+RVQ
     def test_gradients_flow(self, model):
         m, variables, x = model
 

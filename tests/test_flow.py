@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ezaudio_tpu.diffusion.flow import FlowSchedule, flow_matching_loss, flow_sample
 
@@ -70,6 +71,7 @@ class TestFlowSampler:
 
 
 class TestFlowMatchingTraining:
+    @pytest.mark.heavy  # 15 s training loop; flow math covered by the schedule/sampler tests
     def test_loss_decreases_on_maskdit(self, rng):
         import optax
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ezaudio_tpu.diffusion.ddim import DDIMSchedule
 from ezaudio_tpu.diffusion.sampling import rescale_noise_cfg, sample_latents
@@ -92,6 +93,7 @@ class TestSampler:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.heavy  # dp x fsdp SPMD train-step compile (~22 s)
 class TestFSDPTraining:
     def test_fsdp_step_matches_single_device(self, rng):
         """dp=2 x fsdp=4 sharded training step == unsharded step."""

@@ -47,6 +47,7 @@ def workspace(tmp_path_factory):
 
 
 class TestTrainCLI:
+    @pytest.mark.heavy  # 30 s end-to-end CLI train loop
     def test_short_training_run(self, workspace, monkeypatch):
         root, cfg_path = workspace
         # tiny T5/VAE need to be injected: patch EzAudio defaults via env of
@@ -85,6 +86,7 @@ class TestTrainCLI:
         ("dots", dict(use_checkpoint=True, remat_policy="dots")),
         ("off", dict(use_checkpoint=False)),
     ])
+    @pytest.mark.heavy  # 35 s: compiles a train step per remat policy
     def test_remat_flag_wires_model_config(self, workspace, monkeypatch,
                                            remat, expect):
         """--remat selects the probe12 activation-remat policy by rewriting
