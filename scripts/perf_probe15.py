@@ -6,8 +6,14 @@ VAE dispatch) and before the fused ResidualUnit decode kernel (probe14).
 Both changes shift the optimum: decode is cheaper and the dispatch
 pipeline hides more of the per-chunk latency at larger batches.  This
 probe measures audio-s/s/chip for the EXACT bench fast recipe (DPM-25 +
-layer_cache(2,2) + chunked_bf16 + int8 + gi(300,800)) at batch 4/8/16 in
-ONE session, so the ratios are tunnel-variance-free.
+layer_cache(2,2) + chunked_bf16 + int8 + cfg_refresh(2); gi demoted by
+the depth-24 quality table, BASELINE.md) at batch 4/8/16 in ONE session,
+so the ratios are tunnel-variance-free.  The 2026-08-19 runbook sweep
+(docs/evidence/r4rb_probe15.log) ran the r3 gi-variant of the recipe and
+batch 8 won there (58.87 vs 56.57); this script now sweeps the r4
+recipe itself (re-sweep queued in scripts/r4_tpu_runbook2.sh ->
+docs/evidence/r4rb2_probe15.log) to confirm the batch-8 BENCH_BATCH
+default on the exact shipped recipe.
 
 Single-chip only by construction: EzAudio is built with mesh=None, so
 per-chip == total; if a BENCH_CHIPS-style mesh is ever added here, divide
@@ -53,7 +59,7 @@ def main():
     ]
     recipe = dict(length=10.0, ddim_steps=25, sampler="dpm",
                   layer_cache=(2, 2), attn_impl="chunked_bf16",
-                  quant="int8", guidance_interval=(300.0, 800.0))
+                  quant="int8", cfg_refresh=2)
 
     batches = [int(b) for b in
                os.environ.get("PROBE15_BATCHES", "4,8,16").split(",")]
