@@ -83,6 +83,36 @@ def _record_last_good(result):
         pass  # read-only checkout: fallback file just stays at HEAD
 
 
+_BUSY_LOCK = "/tmp/ezaudio_tpu_busy.lock"
+
+
+def _check_busy_lock():
+    """A detached long-running TPU job (training/distill runbooks) holds
+    ``/tmp/ezaudio_tpu_busy.lock`` ({"pid": N, "job": "..."}) while it owns
+    the single tunnel chip.  Measuring through the shared chip while such a
+    job runs would record a contended — i.e. silently degraded — number as
+    a fresh "good" one, which is worse than the round-3 0.0 (it would
+    overwrite bench_last_good.json too).  So: if the lock names a live
+    process, emit the last-known-good artifact marked stale with the busy
+    reason instead of measuring.  /tmp dies with the VM, so a lock can
+    never outlive the job across machine rotations; a dead-PID lock is
+    ignored.  Override with EZAUDIO_BENCH_IGNORE_BUSY=1."""
+    if os.environ.get("EZAUDIO_BENCH_IGNORE_BUSY") == "1":
+        return
+    try:
+        with open(_BUSY_LOCK) as f:
+            lock = json.load(f)
+        pid = int(lock["pid"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return
+    if not os.path.isdir(f"/proc/{pid}"):
+        return  # stale lock from a dead job
+    _emit_stale_fallback(
+        f"TPU busy: lock {_BUSY_LOCK} held by live pid {pid} "
+        f"(job: {lock.get('job', '?')}); a contended measurement would "
+        f"under-report — emitting last-known-good instead")
+
+
 def _probe_device_or_fallback():
     """The axon TPU tunnel can go down for HOURS, during which any dispatch
     hangs with no error (CLAUDE.md, observed 2026-08-18/19).  Probe the
