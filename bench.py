@@ -178,6 +178,7 @@ def _arm_progress_watchdog():
 
 
 def main():
+    _check_busy_lock()  # before the probe: the probe itself dispatches
     _probe_device_or_fallback()
     _arm_progress_watchdog()
     # Default batch 8: probe15's same-session sweep of the fast recipe

@@ -60,12 +60,14 @@ BATCH = int(E("DS_BATCH", "16"))
 N_TRAIN = int(E("DS_N_TRAIN", "1024"))
 N_EVAL = int(E("DS_N_EVAL", "128"))
 SERVE_BATCH = int(E("DS_SERVE_BATCH", "16"))
-CKPT = E("DS_CKPT", "/tmp/ds_student_ckpt")
 VAE_STEPS = int(E("DS_VAE_STEPS", "1500"))
 
+from scripts.busy_lock import busy_lock  # noqa: E402
 from scripts.mid_common import (  # noqa: E402
-    GUIDANCE, PROMPTS, build_mid_ezaudio, fit_vae, prepare_data,
-    train_teacher)
+    CACHE_ROOT, GUIDANCE, PROMPTS, _load_params, _save_params,
+    build_mid_ezaudio, fit_vae, prepare_data, train_teacher)
+
+CKPT = E("DS_CKPT", os.path.join(CACHE_ROOT, "ds_student_ckpt"))
 from scripts.quality_validate_mid import features, latent_class  # noqa: E402
 
 
@@ -129,6 +131,19 @@ def main():  # noqa: C901 — linear experiment script
     t_params = teacher_params
     rng = np.random.default_rng(7)
     for si, n_student in enumerate((8, 4)):
+        # per-stage disk checkpoint: a tunnel outage mid-run resumes at
+        # the last completed stage instead of zeroing hours of work (the
+        # r4 run died at stage-1 step 0 and lost everything)
+        stage_dir = os.path.join(
+            CACHE_ROOT, "ds_stages",
+            f"d{DEPTH}_w{DIM}_L{FRAMES}_t{TRAIN_STEPS}"
+            f"_ds{DISTILL_STEPS}_b{BATCH}_to{n_student}")
+        if os.path.exists(os.path.join(stage_dir, "params.npz")):
+            cached, _ = _load_params(stage_dir)
+            t_params = jax.tree.map(jnp.asarray, cached)
+            print(f"  [distill ->{n_student}] reusing cached stage: "
+                  f"{stage_dir}", flush=True)
+            continue
         tables = distill_tables(schedule, n_student)
         builder = guided_builder if si == 0 else plain_builder
         tx_s = make_optimizer(t_params, learning_rate=1e-4, warmup=100)
@@ -155,6 +170,10 @@ def main():  # noqa: C901 — linear experiment script
                       f"loss {float(metrics['loss']):.5f} "
                       f"({time.time()-t1:.0f}s)", flush=True)
         t_params = st.params
+        _save_params(stage_dir, jax.device_get(t_params),
+                     {"stage": n_student, "steps": DISTILL_STEPS})
+        print(f"  [distill ->{n_student}] stage cached: {stage_dir}",
+              flush=True)
     student_params = t_params
 
     # ------------------------------------------------------------------
@@ -225,4 +244,5 @@ def main():  # noqa: C901 — linear experiment script
 
 
 if __name__ == "__main__":
-    main()
+    with busy_lock("distill_serve_mid", enabled=E("DS_CPU") != "1"):
+        main()

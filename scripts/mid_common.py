@@ -30,6 +30,16 @@ PROMPTS = [
 ]
 GUIDANCE = 3.0
 
+# Experiment caches (fitted VAE, encoded latents, trained teachers,
+# distill stages) live INSIDE the repo checkout, gitignored: /tmp dies
+# with pool-VM rotation (r4 lesson: every cache vanished between rounds
+# and the distill-serve run had to restart from zero), while the checkout
+# — like .jax_cache — persists.  MID_CACHE_ROOT overrides.
+CACHE_ROOT = os.environ.get(
+    "MID_CACHE_ROOT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache_mid"))
+
 
 def peak_wav(x):
     return (x / (np.abs(x).max() + 1e-9)).astype(np.float32)
@@ -138,7 +148,7 @@ def _load_params(folder):
 
 
 def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
-            cache_dir: str = "/tmp/mid_vae"):
+            cache_dir: str = None):
     """Briefly train ez's production-geometry Oobleck VAE on the synth
     family (MRSTFT + KL + adversarial, training/codec_trainer.py) so the
     DECODER is non-degenerate — a random decoder collapses to
@@ -149,6 +159,8 @@ def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
     from ezaudio_tpu.training.codec_trainer import (
         init_codec_train_state, make_codec_train_steps)
 
+    if cache_dir is None:
+        cache_dir = os.path.join(CACHE_ROOT, "mid_vae")
     folder = os.path.join(cache_dir, f"s{steps}_b{batch}")
     if os.path.exists(os.path.join(folder, "params.npz")):
         params, _ = _load_params(folder)
@@ -218,7 +230,7 @@ def _vae_fingerprint(params):
 
 def prepare_data(ez, frames: int, n_train: int, n_eval: int,
                  min_readout_acc: float = 0.95,
-                 cache_dir: str = "/tmp/mid_data"):
+                 cache_dir: str = None):
     """Synthesize the 4-class distribution, encode through ez's own VAE,
     normalize, and wire the inverse into ez.scale/ez.shift so decode
     reproduces audio from model-space latents.  Returns a dict.
@@ -229,6 +241,8 @@ def prepare_data(ez, frames: int, n_train: int, n_eval: int,
     sr = ez.sr
     ratio = sr // ez.latent_sr
 
+    if cache_dir is None:
+        cache_dir = os.path.join(CACHE_ROOT, "mid_data")
     folder = os.path.join(
         cache_dir, f"f{frames}_t{n_train}_e{n_eval}_"
         f"{_vae_fingerprint(ez.autoencoder.params)}")
@@ -304,7 +318,7 @@ def prepare_data(ez, frames: int, n_train: int, n_eval: int,
 
 
 def train_teacher(ez, model_cfg, data, steps: int, batch: int,
-                  lr: float = 2e-4, cache_dir: str = "/tmp/mid_teacher",
+                  lr: float = 2e-4, cache_dir: str = None,
                   tag: str = "teacher"):
     """Train the DiT on the prompt-conditioned data (cfg-dropout 0.1),
     caching the result as a model_io bundle keyed by geometry+steps.
@@ -314,6 +328,8 @@ def train_teacher(ez, model_cfg, data, steps: int, batch: int,
     from ezaudio_tpu.training.optim import make_optimizer
     from ezaudio_tpu.training.trainer import TrainState, make_train_step
 
+    if cache_dir is None:
+        cache_dir = os.path.join(CACHE_ROOT, "mid_teacher")
     key = (f"d{model_cfg['depth']}_w{model_cfg['embed_dim']}_"
            f"L{model_cfg['img_size']}_s{steps}_b{batch}")
     folder = os.path.join(cache_dir, key)

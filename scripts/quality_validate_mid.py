@@ -246,8 +246,10 @@ def main():  # noqa: C901 — linear experiment script
         cache_key = (f"{loss_kind}_d{DEPTH}_w{DIM}_h{HEADS}_L{FRAMES}"
                      f"_s{steps}_b{BATCH}_n{N_TRAIN}_lr{LR:g}_seed{seed}"
                      f"_{jax.default_backend()}")
-        cache_dir = os.path.join(E("MID_CACHE_DIR", "/tmp/qv_cache"),
-                                 cache_key)
+        from scripts.mid_common import CACHE_ROOT
+        cache_dir = os.path.join(
+            E("MID_CACHE_DIR", os.path.join(CACHE_ROOT, "qv_cache")),
+            cache_key)
         use_cache = E("MID_CACHE", "1") == "1"
         npz = os.path.join(cache_dir, "params.npz")
         if use_cache and os.path.exists(npz):
@@ -639,4 +641,7 @@ def main():  # noqa: C901 — linear experiment script
 
 
 if __name__ == "__main__":
-    main()
+    from scripts.busy_lock import busy_lock
+
+    with busy_lock("quality_validate_mid", enabled=E("MID_CPU") != "1"):
+        main()

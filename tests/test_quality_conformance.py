@@ -156,6 +156,27 @@ class TestPESQConformance:
 
 
 class TestNSIMConformance:
+    def test_mnru_score_level_anchoring(self):
+        """Score-LEVEL conformance (VERDICT r4 item 6, the PESQ trick
+        repeated for the ViSQOL core): on the calibration signal family
+        (quality.synthetic_speech, P.810 MNRU), the NSIM_MOS_CAL-mapped
+        mos must land within +-0.35 MOS of the same published MNRU
+        characteristic the PESQ calibration targets.  Held-out: refs
+        (seeds 4-9) and noise seeds DIFFER from the fit's (seeds 0-3,
+        scripts/calibrate_nsim_mnru.py).  MNRU-anchored, not
+        Google-SVR-exact — the bound applies to the FAMILY MEAN."""
+        from ezaudio_tpu.audio.quality import synthetic_speech
+
+        refs = [synthetic_speech(4.0, FS, seed=s) for s in range(4, 10)]
+        for q, anchor in ((10, 1.45), (15, 1.94), (25, 2.93), (35, 3.91)):
+            mos = np.mean([
+                visqol_nsim(mnru(r, q, seed=500 + i), r, FS)["mos"]
+                for i, r in enumerate(refs)])
+            assert abs(mos - anchor) < 0.35, (q, mos, anchor)
+
+    def test_identity_mos_is_transparent(self, ref):
+        assert visqol_nsim(ref, ref, FS)["mos"] > 4.4
+
     def test_mnru_monotone(self, ref):
         qs = [5, 15, 25, 35]
         scores = [visqol_nsim(mnru(ref, q), ref, FS)["nsim"] for q in qs]
