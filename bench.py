@@ -71,7 +71,32 @@ def _emit_stale_fallback(reason):
 def _record_last_good(result):
     """Persist a successful full-recipe measurement for future stale
     fallbacks.  Only the default-recipe A/B run qualifies (env-pinned
-    recipes measure something else)."""
+    recipes measure something else).
+
+    Trend guard (VERDICT r4 item 8): the fast/reference ratio is a
+    same-session quantity, immune to uniform tunnel slowness — if it
+    drops >15% below the committed last-good's ratio, something is wrong
+    with THIS session (contention, a recipe regression) and overwriting
+    the fallback file would silently commit a degraded number as "last
+    known good".  Refuse unless EZAUDIO_BENCH_FORCE=1; the fresh
+    measurement is still printed either way."""
+    try:
+        with open(_LAST_GOOD) as f:
+            prev = json.load(f)
+        prev_ratio = (prev["value"]
+                      / prev["reference_default_recipe"]["value"])
+        new_ratio = (result["value"]
+                     / result["reference_default_recipe"]["value"])
+        if (new_ratio < 0.85 * prev_ratio
+                and os.environ.get("EZAUDIO_BENCH_FORCE") != "1"):
+            print(f"bench: NOT updating {_LAST_GOOD}: fast/reference "
+                  f"ratio {new_ratio:.2f} is >15% below the committed "
+                  f"{prev_ratio:.2f} (degraded/contended session?); "
+                  f"set EZAUDIO_BENCH_FORCE=1 to override",
+                  file=sys.stderr, flush=True)
+            return
+    except (OSError, ValueError, KeyError, ZeroDivisionError, TypeError):
+        pass  # no committed last-good (or malformed): record freely
     try:
         rec = dict(result)
         rec["session_date"] = time.strftime("%Y-%m-%d")
@@ -255,13 +280,14 @@ def main():
     ]
     prompts = (prompts * ((batch + 3) // 4))[:batch]
 
-    def measure(**kw):
+    def measure(batch_prompts=None, **kw):
+        p = prompts if batch_prompts is None else batch_prompts
         kw = dict(length=length_s, **kw)
-        ez.generate_audio(prompts, random_seed=0, **kw)  # warmup / compile
+        ez.generate_audio(p, random_seed=0, **kw)  # warmup / compile
         times = []
         for i in range(3):
             t0 = time.perf_counter()
-            sr, wav = ez.generate_audio(prompts, random_seed=i, **kw)
+            sr, wav = ez.generate_audio(p, random_seed=i, **kw)
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 
@@ -298,6 +324,19 @@ def main():
                       guidance_interval=gi_fast, cfg_refresh=cfg_refresh)
               if default_recipe else t_ref)
 
+    # Latency-optimal operating point (VERDICT r4 item 4): the default
+    # batch 8 maximizes throughput but p50 latency per clip is ~1.9x
+    # worse than batch 4 — report BOTH so the artifact shows the
+    # tradeoff instead of hiding it.  BENCH_LATENCY_ROW=0 skips.
+    lat_batch = int(os.environ.get("BENCH_LATENCY_BATCH", "4"))
+    t_lat = None
+    if (default_recipe and batch != lat_batch
+            and os.environ.get("BENCH_LATENCY_ROW", "1") == "1"):
+        t_lat = measure(batch_prompts=(prompts * lat_batch)[:lat_batch],
+                        ddim_steps=25, sampler="dpm", layer_cache=(2, 2),
+                        attn_impl="chunked_bf16", quant="int8",
+                        guidance_interval=gi_fast, cfg_refresh=cfg_refresh)
+
     # optional (BENCH_DISTILLED=1): the 4-call distilled-student recipe —
     # throughput is weight-independent so random weights measure it
     # honestly, but serving it for real REQUIRES a progressively-distilled
@@ -322,6 +361,14 @@ def main():
         "chips": n_chips,
         "reference_default_recipe": ref_default,
     }
+    if t_lat is not None:
+        result["latency_optimal"] = {
+            "batch": lat_batch,
+            "value": round(lat_batch * length_s / t_lat / n_chips, 3),
+            "unit": "audio-sec/sec/chip",
+            "p50_latency_s_per_10s_clip": round(t_lat, 3),
+            "note": "same fast recipe at the latency-optimal batch",
+        }
     if t_dist is not None:
         result["distilled_4call_recipe"] = {
             "value": round(audio_sec / t_dist / n_chips, 3),

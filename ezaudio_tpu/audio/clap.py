@@ -47,11 +47,17 @@ def clap_log_mel(wav: np.ndarray, sr: int = 48000, n_fft: int = 1024,
                  fmax: float = 14000.0, scale: str = "slaney") -> np.ndarray:
     """(B, T) waveform at ``sr`` -> (B, frames, n_mels) dB log-mel,
     matching ClapFeatureExtractor._np_extract_fbank_features (hann STFT
-    center=reflect, power 2, 10*log10 with 1e-10 floor)."""
+    center=reflect, power 2, 10*log10 with 1e-10 floor).
+
+    The STFT is pinned to the host CPU device: feature extraction is
+    host-side by design, and complex-dtype FFTs are unimplemented on the
+    axon TPU backend — without the pin a TPU-platform process (e.g. the
+    quality harnesses scoring CLAP rows) would crash here."""
     from ezaudio_tpu.audio.stft import stft
 
     wav = np.atleast_2d(np.asarray(wav, np.float32))
-    spec = np.abs(np.asarray(stft(jnp.asarray(wav), n_fft, hop))) ** 2
+    with jax.default_device(jax.devices("cpu")[0]):
+        spec = np.abs(np.asarray(stft(jnp.asarray(wav), n_fft, hop))) ** 2
     fb = (mel_filterbank(sr, n_fft, n_mels, fmin, fmax) if scale == "slaney"
           else _mel_filterbank_htk(sr, n_fft, n_mels, fmin, fmax))
     mel = np.einsum("mf,bft->btm", fb, spec)

@@ -155,6 +155,15 @@ def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
     near-constant audio, which silently zeroes every decode->encode
     roundtrip metric (observed: roundtrip feature spread 1e-4).  Cached
     on disk keyed by steps; injects the params into ez.autoencoder."""
+    fit_vae_facade(ez.autoencoder, ez.sr, steps=steps, batch=batch,
+                   seg_s=seg_s, cache_dir=cache_dir)
+
+
+def fit_vae_facade(facade, sr, steps: int = 1500, batch: int = 4,
+                   seg_s: float = 1.0, cache_dir: str = None):
+    """fit_vae at the AutoencoderFacade level (quality_validate_mid builds
+    a bare facade, no EzAudio); same disk cache, so all mid-scale
+    harnesses share one fitted VAE per (steps, batch)."""
     from ezaudio_tpu.codecs.discriminator import Discriminator
     from ezaudio_tpu.training.codec_trainer import (
         init_codec_train_state, make_codec_train_steps)
@@ -164,11 +173,9 @@ def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
     folder = os.path.join(cache_dir, f"s{steps}_b{batch}")
     if os.path.exists(os.path.join(folder, "params.npz")):
         params, _ = _load_params(folder)
-        ez.autoencoder.params = params
+        facade.params = params
         print(f"[vae] reusing cached fitted VAE: {folder}", flush=True)
         return
-
-    sr = ez.sr
     seg = int(seg_s * sr)
     rng = np.random.default_rng(42)
     # a pool of full clips to crop from (all 4 classes)
@@ -179,7 +186,7 @@ def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
     disc = Discriminator(periods=(2, 3), fft_sizes=(1024, 512), rates=(),
                          sample_rate=sr)
     step_fn, gtx, dtx = make_codec_train_steps(
-        ez.autoencoder.model, disc, codec_kind="vae", sample_rate=sr,
+        facade.model, disc, codec_kind="vae", sample_rate=sr,
         gen_lr=3e-4, disc_lr=3e-4, warmup=0.0,
         stft_windows=(2048, 1024, 512, 256))
 
@@ -189,9 +196,9 @@ def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
         return np.stack([pool[i, o : o + seg] for i, o in zip(idx, off)])
 
     audio0 = jnp.asarray(crops(batch)[:, :, None])
-    state = init_codec_train_state(ez.autoencoder.model, disc, gtx, dtx,
+    state = init_codec_train_state(facade.model, disc, gtx, dtx,
                                    jax.random.PRNGKey(5), audio0,
-                                   gen_params=ez.autoencoder.params)
+                                   gen_params=facade.params)
     # Adversarial VAE fits can destabilize late (observed: mrstft
     # 3.9 -> 4784 at step 1250 of 1500) — keep the best smoothed-mrstft
     # snapshot instead of trusting the final step.
@@ -213,8 +220,8 @@ def fit_vae(ez, steps: int = 1500, batch: int = 4, seg_s: float = 1.0,
         best_params, best_ema = jax.device_get(state.gen_params), ema
     print(f"[vae] keeping snapshot at ema mrstft {best_ema:.4f}",
           flush=True)
-    ez.autoencoder.params = best_params
-    _save_params(folder, ez.autoencoder.params,
+    facade.params = best_params
+    _save_params(folder, facade.params,
                  {"steps": steps, "best_ema_mrstft": best_ema})
     print(f"[vae] cached: {folder}", flush=True)
 

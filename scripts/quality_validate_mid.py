@@ -22,13 +22,26 @@ Sanity gate: the conditional readout (AM rate of the latent energy
 envelope) must classify the REFERENCE latents at >= 0.95 accuracy before
 any training happens — otherwise the harness itself is broken.
 
+CLAP columns (VERDICT r4 item 3 — the paper's metric family): when
+MID_CLAP=1 (default), every row additionally reports the CLAP score
+(mean prompt<->audio cosine through the native tower, models/clap.py —
+the EzAudio paper's headline column) and FAD over CLAP audio embeddings,
+computed on DECODED audio through a briefly-fitted production VAE
+(mid_common.fit_vae_facade — a random decoder would make audio-domain
+metrics degenerate).  With random-init CLAP weights the columns are
+RELATIVE-only (recipe-vs-anchor ordering within this table); point
+MID_CLAP_WEIGHTS at a local laion/clap-htsat-unfused state dict (and
+MID_CLAP_TOKENIZER at its tokenizer dir) to make them
+literature-shaped.  Reference seam: /root/reference/src/modules/
+clap_wrapper.py (empty) + README.md:104-113 metric claims.
+
 Run (TPU):  python -u scripts/quality_validate_mid.py
 Env knobs (defaults in brackets): MID_DEPTH [12] MID_DIM [512]
 MID_HEADS [8] MID_FRAMES [500] MID_TRAIN_STEPS [4000] MID_BATCH [16]
 MID_N_TRAIN [1024] MID_N_EVAL [128] MID_EVAL_CHUNK [32] MID_FLOW [1]
-MID_DISTILL [1] MID_DISTILL_STEPS [1500]
+MID_DISTILL [1] MID_DISTILL_STEPS [1500] MID_CLAP [1] MID_VAE_STEPS [1500]
 CPU smoke:  MID_DEPTH=2 MID_DIM=64 MID_FRAMES=50 MID_TRAIN_STEPS=30
-            MID_N_TRAIN=32 MID_N_EVAL=16 MID_EVAL_CHUNK=8
+            MID_N_TRAIN=32 MID_N_EVAL=16 MID_EVAL_CHUNK=8 MID_VAE_STEPS=5
 Writes a markdown table to stdout; paste into BASELINE.md.
 """
 
@@ -79,6 +92,8 @@ DISTILL_STEPS = int(E("MID_DISTILL_STEPS", "1500"))
 # per-block remat to fit training activations, and a gentler lr)
 REMAT = E("MID_REMAT", "1" if DEPTH >= 16 else "0") == "1"
 LR = float(E("MID_LR", "2e-4"))
+RUN_CLAP = E("MID_CLAP", "1") == "1"
+VAE_STEPS = int(E("MID_VAE_STEPS", "1500"))
 
 Lc, D = 4, 64
 N_CLASS = 4
@@ -118,9 +133,13 @@ def make_vae():
     return AutoencoderFacade(model, params), vae_cfg["sample_rate"], r
 
 
-def encode_dataset(n_clips: int, seed: int):
-    """(n, FRAMES, C) normalized latents + class labels via the real VAE."""
-    facade, sr, ratio = make_vae()
+def encode_dataset(n_clips: int, seed: int, facade=None, sr=None,
+                   ratio=None):
+    """(n, FRAMES, C) normalized latents + class labels via the real VAE.
+    Pass a shared (possibly fitted) facade; a fresh random one is built
+    when omitted (legacy callers)."""
+    if facade is None:
+        facade, sr, ratio = make_vae()
     n_samples = FRAMES * ratio
     rng = np.random.default_rng(seed)
     cls = rng.integers(0, N_CLASS, n_clips)
@@ -133,6 +152,61 @@ def encode_dataset(n_clips: int, seed: int):
         lats.append(np.asarray(z, np.float32))
     lat = np.concatenate(lats, axis=0)
     return lat, cls
+
+
+def _crc_tokenizer(cfg, max_len: int = 16):
+    """Deterministic host-side stand-in tokenizer (crc32 word hash onto
+    the RoBERTa id space, bos=0/eos=2/pad=1 framing).  With random-init
+    CLAP weights any injective tokenization is equivalent; swap for the
+    real RoBERTa BPE (MID_CLAP_TOKENIZER) when using published weights."""
+    import zlib
+
+    def tok(texts):
+        ids = np.full((len(texts), max_len), cfg.text.pad_token_id,
+                      np.int64)
+        am = np.zeros((len(texts), max_len), np.int64)
+        for i, t in enumerate(texts):
+            body = [5 + zlib.crc32(w.encode()) % (cfg.text.vocab_size - 10)
+                    for w in t.lower().split()][: max_len - 2]
+            toks = [0] + body + [2]
+            ids[i, : len(toks)] = toks
+            am[i, : len(toks)] = 1
+        return ids, am
+
+    return tok
+
+
+def make_clap_scorer():
+    """Native CLAP scorer; MID_CLAP_WEIGHTS (local transformers-format
+    state dict) + MID_CLAP_TOKENIZER (local tokenizer dir) make the
+    columns literature-shaped; without them the scorer is random-init
+    and the columns are relative-only (printed caveat)."""
+    from ezaudio_tpu.audio.clap import CLAPScorer
+
+    weights = None
+    wpath = E("MID_CLAP_WEIGHTS")
+    if wpath:
+        import torch
+
+        weights = torch.load(wpath, map_location="cpu")
+        if hasattr(weights, "state_dict"):
+            weights = weights.state_dict()
+    scorer = CLAPScorer(weights=weights)
+    tok_dir = E("MID_CLAP_TOKENIZER")
+    if tok_dir:
+        from transformers import AutoTokenizer
+
+        hf_tok = AutoTokenizer.from_pretrained(tok_dir)
+
+        def tok(texts):
+            enc = hf_tok(list(texts), padding=True, return_tensors="np")
+            return (np.asarray(enc["input_ids"]),
+                    np.asarray(enc["attention_mask"]))
+
+        scorer.tokenizer = tok
+    else:
+        scorer.tokenizer = _crc_tokenizer(scorer.cfg)
+    return scorer, weights is not None
 
 
 def class_text(cls: np.ndarray) -> np.ndarray:
@@ -189,9 +263,35 @@ def main():  # noqa: C901 — linear experiment script
           f"{N_TRAIN}+{N_EVAL} clips through the real Oobleck VAE",
           flush=True)
 
+    facade, sr_audio, ratio = make_vae()
+    if RUN_CLAP:
+        # audio-domain CLAP rows need a non-degenerate decoder; the fit
+        # is disk-cached and shared with distill_serve_mid
+        from scripts.mid_common import fit_vae_facade
+
+        fit_vae_facade(facade, sr_audio, steps=VAE_STEPS, batch=4)
+
     t0 = time.time()
-    lat_train, cls_train = encode_dataset(N_TRAIN, seed=0)
-    lat_eval, cls_eval = encode_dataset(N_EVAL, seed=1)
+    from scripts.mid_common import CACHE_ROOT, _vae_fingerprint
+
+    enc_cache = os.path.join(
+        CACHE_ROOT, "qv_latents",
+        f"f{FRAMES}_t{N_TRAIN}_e{N_EVAL}_{_vae_fingerprint(facade.params)}"
+        ".npz")
+    if E("MID_CACHE", "1") == "1" and os.path.exists(enc_cache):
+        z = dict(np.load(enc_cache))
+        lat_train, cls_train = z["lat_train"], z["cls_train"]
+        lat_eval, cls_eval = z["lat_eval"], z["cls_eval"]
+        print(f"[data] reusing cached latents: {enc_cache}", flush=True)
+    else:
+        lat_train, cls_train = encode_dataset(N_TRAIN, 0, facade,
+                                              sr_audio, ratio)
+        lat_eval, cls_eval = encode_dataset(N_EVAL, 1, facade,
+                                            sr_audio, ratio)
+        if E("MID_CACHE", "1") == "1":
+            os.makedirs(os.path.dirname(enc_cache), exist_ok=True)
+            np.savez(enc_cache, lat_train=lat_train, cls_train=cls_train,
+                     lat_eval=lat_eval, cls_eval=cls_eval)
     mu = lat_train.mean((0, 1), keepdims=True)
     sd = lat_train.std((0, 1), keepdims=True) + 1e-6
     lat_train = (lat_train - mu) / sd
@@ -245,8 +345,11 @@ def main():  # noqa: C901 — linear experiment script
         MID_CACHE=0 disables."""
         cache_key = (f"{loss_kind}_d{DEPTH}_w{DIM}_h{HEADS}_L{FRAMES}"
                      f"_s{steps}_b{BATCH}_n{N_TRAIN}_lr{LR:g}_seed{seed}"
-                     f"_{jax.default_backend()}")
-        from scripts.mid_common import CACHE_ROOT
+                     f"_{jax.default_backend()}"
+                     # the training data depends on the (possibly fitted)
+                     # VAE — key on it so a CLAP-mode run never reuses a
+                     # teacher trained on random-VAE latents
+                     f"_v{_vae_fingerprint(facade.params)}")
         cache_dir = os.path.join(
             E("MID_CACHE_DIR", os.path.join(CACHE_ROOT, "qv_cache")),
             cache_key)
@@ -515,16 +618,75 @@ def main():  # noqa: C901 — linear experiment script
         configs = [c for c in configs
                    if any(p in c[0].lower() for p in pats)]
 
+    # ------------------------------------------------------------------
+    # CLAP columns (the paper's metric family): decoded-audio CLAP score
+    # + FAD over CLAP audio embeddings, reference side decoded through
+    # the same fitted VAE
+    # ------------------------------------------------------------------
+    clap = None
+    if RUN_CLAP:
+        from scripts.mid_common import PROMPTS
+
+        scorer, has_weights = make_clap_scorer()
+        if not has_weights:
+            print("[clap] random-init CLAP weights: CLAP columns are "
+                  "RELATIVE-only (recipe-vs-anchor ordering within this "
+                  "table; the audio tower still acts as a fixed random "
+                  "projection, so CLAP-FAD is a valid distance) — NOT "
+                  "literature-comparable absolute scores; set "
+                  "MID_CLAP_WEIGHTS + MID_CLAP_TOKENIZER for those",
+                  flush=True)
+
+        def decode_wavs(lat_m):
+            outs = []
+            for i in range(0, len(lat_m), 8):
+                z = jnp.asarray(lat_m[i : i + 8] * sd + mu)
+                w = np.asarray(facade.decode(z), np.float32)
+                if w.ndim == 3:
+                    w = w[..., 0]
+                outs.append(w)
+            return np.concatenate(outs, 0)
+
+        def clap_embed(lat_m):
+            wavs = decode_wavs(lat_m)
+            embs = []
+            for i in range(0, len(wavs), 8):
+                embs.append(np.asarray(
+                    scorer.embed_audio(wavs[i : i + 8], sr_audio),
+                    np.float32))
+            return np.concatenate(embs, 0)
+
+        t0c = time.time()
+        clap_ref = clap_embed(lat_eval)
+        text_emb = np.asarray(scorer.embed_text(PROMPTS), np.float32)
+        clap = (clap_embed, text_emb, clap_ref)
+        print(f"[clap] reference audio embeddings + text embeddings in "
+              f"{time.time()-t0c:.0f}s", flush=True)
+
     rows = []
 
     def score(name, out):
         fad = frechet_audio_distance(features(out), feats_ref)
         acc = float((latent_class(out) == cls_eval).mean())
-        rows.append((name, fad, acc))
-        print(f"| {name} | {fad:.3f} | {acc:.2f} |", flush=True)
+        if clap is not None:
+            clap_embed, text_emb, clap_ref = clap
+            emb = clap_embed(out)
+            cscore = float((emb * text_emb[cls_eval]).sum(-1).mean())
+            cfad = frechet_audio_distance(emb, clap_ref)
+            rows.append((name, fad, acc, cscore, cfad))
+            print(f"| {name} | {fad:.3f} | {acc:.2f} | {cscore:.4f} | "
+                  f"{cfad:.4f} |", flush=True)
+        else:
+            rows.append((name, fad, acc))
+            print(f"| {name} | {fad:.3f} | {acc:.2f} |", flush=True)
 
-    print("\n| sampler | FAD (latent feats) vs data | cond. class acc |")
-    print("|---|---|---|", flush=True)
+    if clap is not None:
+        print("\n| sampler | FAD (latent feats) vs data | cond. class acc "
+              "| CLAP score | CLAP-FAD |")
+        print("|---|---|---|---|---|", flush=True)
+    else:
+        print("\n| sampler | FAD (latent feats) vs data | cond. class acc |")
+        print("|---|---|---|", flush=True)
     for name, builder, kw in configs:
         score(name, run_config(builder, **kw))
 

@@ -54,6 +54,48 @@ def test_forced_outage_emits_stale_last_good():
         last["reference_default_recipe"]["value"]
 
 
+def _mk_result(fast, ref):
+    return {"value": fast, "unit": "audio-sec/sec/chip",
+            "vs_baseline": fast, "chips": 1,
+            "reference_default_recipe": {"value": ref}}
+
+
+def test_trend_guard_refuses_degraded_ratio(tmp_path, monkeypatch):
+    """VERDICT r4 item 8: a session whose fast/reference ratio dropped
+    >15% below the committed last-good's must NOT overwrite the fallback
+    file (contended/degraded session) unless EZAUDIO_BENCH_FORCE=1."""
+    import bench
+
+    lg = tmp_path / "last_good.json"
+    committed = _mk_result(59.0, 6.0)  # ratio ~9.83
+    lg.write_text(json.dumps(committed))
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(lg))
+    monkeypatch.delenv("EZAUDIO_BENCH_FORCE", raising=False)
+
+    # degraded ratio (7.0 < 0.85 * 9.83): refused
+    bench._record_last_good(_mk_result(42.0, 6.0))
+    assert json.loads(lg.read_text())["value"] == 59.0
+
+    # healthy ratio (within 15%): recorded, with provenance stamped
+    bench._record_last_good(_mk_result(55.0, 6.0))
+    rec = json.loads(lg.read_text())
+    assert rec["value"] == 55.0 and "session_date" in rec
+
+    # degraded + FORCE: recorded
+    monkeypatch.setenv("EZAUDIO_BENCH_FORCE", "1")
+    bench._record_last_good(_mk_result(30.0, 6.0))
+    assert json.loads(lg.read_text())["value"] == 30.0
+
+
+def test_trend_guard_records_when_no_last_good(tmp_path, monkeypatch):
+    import bench
+
+    lg = tmp_path / "none.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(lg))
+    bench._record_last_good(_mk_result(10.0, 6.0))
+    assert json.loads(lg.read_text())["value"] == 10.0
+
+
 def test_forced_outage_without_last_good_exits_3(tmp_path):
     """No last-good available: keep the old loud 0.0/rc=3 behavior (runs
     bench.py from a copy so the real fallback file is out of reach)."""
