@@ -795,11 +795,18 @@ class EzAudio:
         quant: Optional[str] = None,
         layer_cache: Optional[Tuple[int, int]] = None,
         attn_impl: Optional[str] = None,
+        crossfade: float = 0.0,
     ) -> Tuple[int, np.ndarray]:
         """Mask-based editing: regenerate ``[mask_start, mask_start+mask_length)``
         seconds of ``gt_file``, with ``boundary`` seconds of context on each
         side; extends the clip when the mask runs past the end (outpainting).
         Parity: api/ezaudio.py:132-207.
+
+        ``crossfade`` (seconds, default 0 = the reference's hard paste):
+        blend generated and gt latents linearly over this span just INSIDE
+        each mask edge before decoding.  Out-of-mask content stays exactly
+        gt; measured to cut the class-changing seam's artifact component
+        (scripts/quality_edit_controlnet_mid.py seam A/B).
         """
         if text == "":
             guidance_scale = None
@@ -848,7 +855,20 @@ class EzAudio:
             quant=quant, layer_cache=layer_cache, attn_impl=attn_impl)
         pred = scale_shift_re(latents, self.scale, self.shift)
         # paste unmasked gt back (inference.py:104-105), then decode
-        pred = jnp.where(jnp.asarray(gt_mask), pred, gt_latent)
+        if crossfade > 0.0:
+            s0 = round(mask_start * self.latent_sr)
+            s1 = round(mask_end * self.latent_sr)
+            xf = max(1, min(round(crossfade * self.latent_sr),
+                            (s1 - s0) // 2))
+            w = np.zeros(L, np.float32)
+            w[s0:s1] = 1.0
+            ramp = (np.arange(1, xf + 1, dtype=np.float32) / (xf + 1))
+            w[s0 : s0 + xf] = ramp
+            w[s1 - xf : s1] = ramp[::-1]
+            wj = jnp.asarray(w)[None, :, None]
+            pred = wj * pred + (1.0 - wj) * gt_latent
+        else:
+            pred = jnp.where(jnp.asarray(gt_mask), pred, gt_latent)
         wav = np.asarray(self.autoencoder.decode(pred))[0, :, 0]
 
         chunk = round((end_idx - start_idx) * sr)

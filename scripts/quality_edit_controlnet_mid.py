@@ -46,12 +46,18 @@ import numpy as np
 
 if os.environ.get("QC_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
+    # CPU smokes recompile everything on a 1-core pool VM — persist
+    # compiles like the TPU path does (own subdir: CPU executables are
+    # keyed by host CPU model, tests/.jax_cache fingerprint lesson)
+    _cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache", "qc_cpu")
 else:
     _cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 E = os.environ.get
 DEPTH = int(E("QC_DEPTH", "12"))
@@ -131,10 +137,11 @@ def main():  # noqa: C901 — linear experiment script
     m0 = int(mask_start_s * latent_sr)
     m1 = m0 + int(mask_len_s * latent_sr)
 
-    def run_edits(gt_cls, edit_cls, seed0):
-        gt_wavs = np.stack(
-            [peak_wav(synth_clip(rng, int(c), FRAMES * ratio, sr))
-             for c in gt_cls])
+    def run_edits(gt_cls, edit_cls, seed0, gt_wavs=None, crossfade=0.0):
+        if gt_wavs is None:
+            gt_wavs = np.stack(
+                [peak_wav(synth_clip(rng, int(c), FRAMES * ratio, sr))
+                 for c in gt_cls])
         t0 = time.time()
         edited = []
         for i in range(len(gt_cls)):
@@ -142,11 +149,13 @@ def main():  # noqa: C901 — linear experiment script
                 PROMPTS[int(edit_cls[i])], boundary=0.08 * length_s,
                 gt_file=gt_wavs[i], mask_start=mask_start_s,
                 mask_length=mask_len_s, ddim_steps=EDIT_STEPS,
-                guidance_scale=GUIDANCE, random_seed=seed0 + i)
+                guidance_scale=GUIDANCE, random_seed=seed0 + i,
+                crossfade=crossfade)
             edited.append(np.asarray(w, np.float32)[: gt_wavs.shape[1]])
-        print(f"edited {len(gt_cls)} clips in {time.time()-t0:.0f}s",
+        print(f"edited {len(gt_cls)} clips in {time.time()-t0:.0f}s"
+              + (f" (crossfade {crossfade:.3f}s)" if crossfade else ""),
               flush=True)
-        return enc(np.stack(edited)), enc(gt_wavs)
+        return enc(np.stack(edited)), enc(gt_wavs), gt_wavs
 
     if os.environ.get("QC_SKIP_EDIT") != "1":
         # class-CHANGING edits on fresh gt clips (the readout must hear
@@ -155,7 +164,7 @@ def main():  # noqa: C901 — linear experiment script
         gt_cls = rng.integers(0, len(PROMPTS), N_EDIT)
         edit_cls = (gt_cls + 1 + rng.integers(0, len(PROMPTS) - 1, N_EDIT)) \
             % len(PROMPTS)
-        m_edit, m_gt = run_edits(gt_cls, edit_cls, seed0=0)
+        m_edit, m_gt, gt_wavs = run_edits(gt_cls, edit_cls, seed0=0)
 
         # region FAD vs the reference distribution's same region (roundtrip
         # both sides: m_edit came through decode->encode by construction)
@@ -187,9 +196,33 @@ def main():  # noqa: C901 — linear experiment script
         spliced[:, m0:m1] = np.roll(m_gt[:, m0:m1], 1, axis=0)  # other clip
         seam_splice = seam_db(spliced, m0, m1)
 
+        # CLASS-MATCHED splice control (VERDICT r4 item 5): splice real
+        # clips of the TARGET class into the mask — the content changes
+        # exactly as the edit asks, but there is no generative seam.  The
+        # gap between the generated seam and THIS floor is the artifact
+        # component; the gap between this floor and the gt floor is the
+        # legitimate content-change component.
+        tgt_wavs = np.stack(
+            [peak_wav(synth_clip(rng, int(c), FRAMES * ratio, sr))
+             for c in edit_cls])
+        m_tgt = enc(tgt_wavs)
+        spliced_cm = m_gt.copy()
+        spliced_cm[:, m0:m1] = m_tgt[:, m0:m1]
+        seam_splice_cm = seam_db(spliced_cm, m0, m1)
+
+        # crossfade A/B: same gt clips, same seeds — only the paste
+        # differs (editing_audio crossfade=).  Measures whether a short
+        # latent-boundary blend cuts the artifact component without
+        # hurting in-mask accuracy or out-of-mask preservation.
+        xf_s = float(E("QC_XFADE", "0.06"))
+        m_xf, _, _ = run_edits(gt_cls, edit_cls, seed0=0, gt_wavs=gt_wavs,
+                               crossfade=xf_s)
+        seam_xf = seam_db(m_xf, m0, m1)
+        acc_xf = float((latent_class(m_xf[:, m0:m1]) == edit_cls).mean())
+
         n_same = int(E("QC_N_SAME", str(max(8, N_EDIT // 2))))
         same_cls = rng.integers(0, len(PROMPTS), n_same)
-        m_same, m_same_gt = run_edits(same_cls, same_cls, seed0=1000)
+        m_same, m_same_gt, _ = run_edits(same_cls, same_cls, seed0=1000)
         seam_same = seam_db(m_same, m0, m1)
         seam_same_gt = seam_db(m_same_gt, m0, m1)
         acc_same = float(
@@ -206,14 +239,25 @@ def main():  # noqa: C901 — linear experiment script
               f"{float(seam_edit.mean()):.2f} | "
               f"gt floor {float(seam_gt.mean()):.2f} / naive splice "
               f"{float(seam_splice.mean()):.2f} |")
+        print(f"| seam, class-MATCHED splice floor (dB) | "
+              f"{float(seam_splice_cm.mean()):.2f} | content-change "
+              f"component; artifact = edited - this |")
+        pres_xf = float(np.abs(m_xf[:, out_mask] - m_gt[:, out_mask]).mean())
+        print(f"| seam, class-changing + crossfade {xf_s:.2f}s (dB) | "
+              f"{float(seam_xf.mean()):.2f} | in-mask acc {acc_xf:.2f} "
+              f"(vs {acc_edit:.2f}); out-of-mask err {pres_xf:.4f} |")
         print(f"| seam energy step, same-class (dB) | "
               f"{float(seam_same.mean()):.2f} | "
               f"gt floor {float(seam_same_gt.mean()):.2f}; in-mask acc "
               f"{acc_same:.2f} |", flush=True)
 
     # ------------------------------------------------------------------
-    # CONTROLNET rows
+    # CONTROLNET rows (QC_SKIP_CN=1 stops here — re-runs that only need
+    # the editing/seam rows skip the ControlNet retrain+eval; the r4
+    # ControlNet rows stand, docs/evidence/r4rb_qc.log)
     # ------------------------------------------------------------------
+    if os.environ.get("QC_SKIP_CN") == "1":
+        return
     cn_api = EzAudioControlNet(base=ez)
     conditioner = cn_api.conditioner
 
@@ -277,4 +321,8 @@ def main():  # noqa: C901 — linear experiment script
 
 
 if __name__ == "__main__":
-    main()
+    from scripts.busy_lock import busy_lock
+
+    with busy_lock("quality_edit_controlnet_mid",
+                   enabled=os.environ.get("QC_CPU") != "1"):
+        main()

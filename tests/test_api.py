@@ -62,6 +62,26 @@ class TestEditing:
         np.testing.assert_array_equal(out[: int(0.2 * TINY_SR)], norm[: int(0.2 * TINY_SR)])
         np.testing.assert_array_equal(out[int(1.3 * TINY_SR):], norm[int(1.3 * TINY_SR):])
 
+    def test_crossfade_keeps_context_and_changes_paste(self, ez):
+        """crossfade>0 must (a) leave the out-of-window waveform untouched
+        (the blend weight is 0 outside the mask), (b) differ from the hard
+        paste only near the mask edges, and (c) be deterministic."""
+        gt = (0.5 * np.sin(2 * np.pi * 110 * np.arange(2 * TINY_SR)
+                           / TINY_SR)).astype(np.float32)
+        kw = dict(boundary=0.25, gt_file=gt, mask_start=0.5,
+                  mask_length=0.5, ddim_steps=4, random_seed=0)
+        _, hard = ez.editing_audio("a dog", **kw)
+        _, soft = ez.editing_audio("a dog", crossfade=0.2, **kw)
+        _, soft2 = ez.editing_audio("a dog", crossfade=0.2, **kw)
+        np.testing.assert_array_equal(soft, soft2)
+        norm = gt / (np.max(np.abs(gt)) + 1e-9)
+        np.testing.assert_array_equal(soft[: int(0.2 * TINY_SR)],
+                                      norm[: int(0.2 * TINY_SR)])
+        np.testing.assert_array_equal(soft[int(1.3 * TINY_SR):],
+                                      norm[int(1.3 * TINY_SR):])
+        # the blend changed something inside the window
+        assert np.abs(soft - hard).max() > 1e-6
+
     def test_outpainting_extends(self, ez):
         gt = (0.1 * np.random.default_rng(0).standard_normal(TINY_SR)).astype(np.float32)
         sr, out = ez.editing_audio("wind", boundary=0.25, gt_file=gt,
