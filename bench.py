@@ -361,6 +361,17 @@ def main():
         "chips": n_chips,
         "reference_default_recipe": ref_default,
     }
+    if default_recipe:
+        # Which side of the quality anchor the shipped recipe sits on
+        # (VERDICT r4 weak-3: the artifact itself should say).  Numbers
+        # from the newest flagship-geometry validation table in
+        # BASELINE.md (docs/evidence/qv_flagship_r4_subset.log; the r5
+        # depth-28 run refreshes them when it lands).
+        result["quality_vs_anchor"] = (
+            "flagship-geometry FAD: max recipe 51.23 BEATS the DDIM-100 "
+            "anchor 55.47; + cfg_refresh(2) 54.67 = anchor-neutral "
+            "(within 1.5%) at +17% throughput — see BASELINE.md "
+            "sampler-quality tables for the full rows")
     if t_lat is not None:
         result["latency_optimal"] = {
             "batch": lat_batch,
