@@ -328,10 +328,15 @@ def main():  # noqa: C901 — linear experiment script
     model = maskdit_from_config(model_cfg)
     schedule = DDIMSchedule.from_config(diff_cfg)
     key = jax.random.PRNGKey(0)
-    params = model.init({"params": key, "mask": key},
-                        jnp.zeros((1, FRAMES, C)), jnp.zeros((1,), jnp.int32),
-                        jnp.zeros((1, 1, D)))["params"]
-    n_params = sum(x.size for x in jax.tree.leaves(params))
+    # count params abstractly — a real init here would pin a full f32
+    # copy for the rest of main() (3.5 GB at depth 28, the r5 qv28 OOM)
+    abs_params = jax.eval_shape(
+        lambda: model.init({"params": key, "mask": key},
+                           jnp.zeros((1, FRAMES, C)),
+                           jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 1, D)))["params"])
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(abs_params))
     print(f"mid MaskDiT: {n_params/1e6:.1f}M params", flush=True)
 
     def train(loss_kind: str, steps: int, seed: int):
@@ -346,10 +351,12 @@ def main():  # noqa: C901 — linear experiment script
         cache_key = (f"{loss_kind}_d{DEPTH}_w{DIM}_h{HEADS}_L{FRAMES}"
                      f"_s{steps}_b{BATCH}_n{N_TRAIN}_lr{LR:g}_seed{seed}"
                      f"_{jax.default_backend()}"
+                     + (f"_mu{E('MID_MU_DTYPE')}" if E("MID_MU_DTYPE")
+                        else "")
                      # the training data depends on the (possibly fitted)
                      # VAE — key on it so a CLAP-mode run never reuses a
                      # teacher trained on random-VAE latents
-                     f"_v{_vae_fingerprint(facade.params)}")
+                     + f"_v{_vae_fingerprint(facade.params)}")
         cache_dir = os.path.join(
             E("MID_CACHE_DIR", os.path.join(CACHE_ROOT, "qv_cache")),
             cache_key)
@@ -366,7 +373,11 @@ def main():  # noqa: C901 — linear experiment script
                         jnp.zeros((1, FRAMES, C)),
                         jnp.zeros((1,), jnp.int32),
                         jnp.zeros((1, 1, D)))["params"]
-        tx = make_optimizer(p0, learning_rate=LR, warmup=200)
+        # MID_MU_DTYPE=bfloat16 halves the first-moment HBM (needed to
+        # fit the 866.7M depth-28 teacher + Adam + activations on one
+        # 16 GB chip; optimizer numerics caveat documented in optim.py)
+        tx = make_optimizer(p0, learning_rate=LR, warmup=200,
+                            mu_dtype=E("MID_MU_DTYPE") or None)
         if loss_kind == "diffusion":
             step = make_train_step(model, schedule, tx, cfg_dropout=0.1)
         else:
