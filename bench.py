@@ -364,14 +364,15 @@ def main():
     if default_recipe:
         # Which side of the quality anchor the shipped recipe sits on
         # (VERDICT r4 weak-3: the artifact itself should say).  Numbers
-        # from the newest flagship-geometry validation table in
-        # BASELINE.md (docs/evidence/qv_flagship_r4_subset.log; the r5
-        # depth-28 run refreshes them when it lands).
+        # from the newest shipped-geometry validation tables in
+        # BASELINE.md (docs/evidence/r5_qv28.log + qv_flagship_r4_subset.log).
         result["quality_vs_anchor"] = (
-            "flagship-geometry FAD: max recipe 51.23 BEATS the DDIM-100 "
-            "anchor 55.47; + cfg_refresh(2) 54.67 = anchor-neutral "
-            "(within 1.5%) at +17% throughput — see BASELINE.md "
-            "sampler-quality tables for the full rows")
+            "validated at the SHIPPED geometry (depth 28/dim 1152, r5): "
+            "this exact recipe BEATS its DDIM-100 anchor, FAD 291.5 vs "
+            "301.3, CLAP columns neutral; at depth 24: 54.67 vs 55.47 "
+            "(anchor-neutral).  BENCH_CFG_REFRESH=1 drops cfgr2 for max "
+            "quality headroom (225.0 / 51.23 vs the anchors) at -15% "
+            "throughput — see BASELINE.md sampler-quality tables")
     if t_lat is not None:
         result["latency_optimal"] = {
             "batch": lat_batch,
