@@ -108,7 +108,11 @@ def _record_last_good(result):
         pass  # read-only checkout: fallback file just stays at HEAD
 
 
-_BUSY_LOCK = "/tmp/ezaudio_tpu_busy.lock"
+# overridable so the suite's bench-subprocess tests stay hermetic while
+# a real TPU job holds the default lock (observed: outage tests failing
+# spuriously mid-quality-run)
+_BUSY_LOCK = os.environ.get("EZAUDIO_BUSY_LOCK",
+                            "/tmp/ezaudio_tpu_busy.lock")
 
 
 def _check_busy_lock():
@@ -367,12 +371,13 @@ def main():
         # from the newest shipped-geometry validation tables in
         # BASELINE.md (docs/evidence/r5_qv28.log + qv_flagship_r4_subset.log).
         result["quality_vs_anchor"] = (
-            "validated at the SHIPPED geometry (depth 28/dim 1152, r5): "
-            "this exact recipe BEATS its DDIM-100 anchor, FAD 291.5 vs "
-            "301.3, CLAP columns neutral; at depth 24: 54.67 vs 55.47 "
-            "(anchor-neutral).  BENCH_CFG_REFRESH=1 drops cfgr2 for max "
-            "quality headroom (225.0 / 51.23 vs the anchors) at -15% "
-            "throughput — see BASELINE.md sampler-quality tables")
+            "validated at the SHIPPED geometry (depth 28/dim 1152, r5, "
+            "two independently-trained tables): this exact recipe BEATS "
+            "its DDIM-100 anchor, FAD 74.2 vs 81.8 (-9%), CLAP columns "
+            "neutral; at depth 24: 54.67 vs 55.47 (anchor-neutral).  "
+            "BENCH_CFG_REFRESH=1 drops cfgr2 for max quality headroom "
+            "(64.7 / 51.23 vs the anchors) at -15% throughput — see "
+            "BASELINE.md sampler-quality tables")
     if t_lat is not None:
         result["latency_optimal"] = {
             "batch": lat_batch,

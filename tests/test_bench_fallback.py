@@ -16,7 +16,13 @@ LAST_GOOD = os.path.join(REPO, "bench_last_good.json")
 
 
 def _run_bench(env_extra, timeout=240):
-    env = dict(os.environ, **env_extra)
+    # pin the busy lock to a test-private path: a concurrent real TPU job
+    # holding the default lock must not flip these tests onto the
+    # lock-fallback path
+    env = dict(os.environ,
+               EZAUDIO_BUSY_LOCK=os.path.join(REPO, "tests",
+                                              ".bench_test_busy.lock"),
+               **env_extra)
     return subprocess.run([sys.executable, BENCH], capture_output=True,
                           text=True, timeout=timeout, env=env, cwd=REPO)
 
@@ -107,7 +113,8 @@ def test_forced_outage_without_last_good_exits_3(tmp_path):
         [sys.executable, str(bench_copy)], capture_output=True, text=True,
         timeout=240, cwd=str(tmp_path), env=dict(
             os.environ, EZAUDIO_BENCH_FORCE_OUTAGE="1",
-            EZAUDIO_BENCH_WATCHDOG_S="3"))
+            EZAUDIO_BENCH_WATCHDOG_S="3",
+            EZAUDIO_BUSY_LOCK=str(tmp_path / "busy.lock")))
     assert r.returncode == 3, (r.stdout, r.stderr[-2000:])
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["value"] == 0.0
